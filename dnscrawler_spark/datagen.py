@@ -1,0 +1,272 @@
+"""Deterministic synthetic corpus generator (the crawl's "zone data").
+
+Replaces the reference's live DNS zone content (reachable only via
+``PyDNS.query``, /root/reference/dnscrawler/pydns.py:31-75) with a
+reproducible table: every byte is a pure function of ``(seed, row_id)``,
+so the pure-Python oracle and the Spark engine agree without any shared
+runtime state, and any scale can be regenerated on demand.
+
+``pages`` schema (BASELINE.json input_hint shape + derived crawl cols):
+
+    image_id STRING, bytes BINARY, w INT, h INT, fmt STRING,
+    caption STRING, phash BIGINT,
+    url STRING, host STRING,
+    out_edges ARRAY<STRING>,    -- dependency targets (NS/A/AAAA analog)
+    glue_edges ARRAY<STRING>,   -- subset with address known inline
+                                -- (glue/additional-section analog,
+                                --  dnsresolver_new.py:73,125-126)
+    carry_edges ARRAY<STRING>   -- fallback edge set used when out_edges
+                                -- is empty (zone-cut carry-forward
+                                -- analog, dnsresolver_new.py:230-232)
+
+Motifs baked in (FIXTURES.md §A6): host skew (8 hot hosts own ~half the
+corpus), cycles, dead edges (hazardous / retryable), numeric-last-label
+hosts (ip_ns misconfiguration), public-suffix hosts (ps_ facts),
+robots-disallowed paths, non-canonical edge URLs (canonicalizer work).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from dnscrawler_spark import codecs
+from dnscrawler_spark.hashing import mix2, splitmix64, str_hash64
+
+# salts for independent hash streams
+_S_HOST = 0x01
+_S_PATH = 0x02
+_S_EDGE = 0x03
+_S_IMG = 0x04
+_S_SEED = 0x05
+
+HOT_HOSTS = 8  # hot-host pool size (skew motif)
+SUFFIXES = ("com", "net", "org", "co.uk")
+PUBLIC_SUFFIXES = frozenset({"com", "net", "org", "co.uk", "uk", "ps", "img.ps"})
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("out_edges", T.ArrayType(T.StringType(), False), False),
+        T.StructField("glue_edges", T.ArrayType(T.StringType(), False), False),
+        T.StructField("carry_edges", T.ArrayType(T.StringType(), False), False),
+    ]
+)
+
+_ADJ = ("amber", "quiet", "vast", "brisk", "pale", "sharp", "mellow", "stark")
+_NOUN = ("harbor", "canyon", "lattice", "orchard", "glacier", "rooftop", "archive", "meadow")
+_STYLE = ("at dusk", "in fog", "under neon", "after rain", "in winter light")
+
+
+def default_n_hosts(n_pages: int) -> int:
+    return max(HOT_HOSTS * 2, n_pages // 64)
+
+
+def host_of(host_id: int) -> str:
+    """Host string for a host id (pure function; motifs by residue)."""
+    base = f"h{host_id:04d}"
+    r = host_id % 23
+    if r == 7:  # numeric last label → ip_ns misconfiguration motif
+        return f"{base}.ns.{host_id % 97}"
+    if r == 11:  # public-suffix host → ps_-prefixed facts motif
+        return f"{base}.img.ps"
+    return f"{base}.site{host_id}.{SUFFIXES[host_id % len(SUFFIXES)]}"
+
+
+def _host_id(i: int, seed: int, n_hosts: int) -> int:
+    m = mix2(i, seed ^ _S_HOST)
+    return (m >> 8) % HOT_HOSTS if m % 2 == 0 else (m >> 8) % n_hosts
+
+
+def page_identity(i: int, seed: int, n_hosts: int) -> tuple[str, str, str]:
+    """(host, path, url) of page *i* — shared by datagen, engine fixtures,
+    and the oracle; never stored redundantly."""
+    host = host_of(_host_id(i, seed, n_hosts))
+    pm = mix2(i, seed ^ _S_PATH)
+    path = f"/priv/img-{i:012d}" if pm % 11 == 0 else f"/img/img-{i:012d}"
+    return host, path, f"http://{host}{path}"
+
+
+def _edges_of(i: int, seed: int, n_pages: int, n_hosts: int) -> tuple[list[str], list[str], list[str]]:
+    """(out_edges, glue_edges, carry_edges) of page *i*.
+
+    Dead-edge URLs encode their failure class in the path:
+    ``/dead-r/`` = retryable-then-missing, ``/dead-h/`` = hazardous —
+    the analog of rcode-driven failure classification
+    (dnsresolver_new.py:220-253) made deterministic.
+    """
+    em = mix2(i, seed ^ _S_EDGE)
+    k = em % 4
+    out: list[str] = []
+    glue: list[str] = []
+    # cycle motif: adjacent mutual edges every ~101 pages
+    if i % 101 == 0 and i + 1 < n_pages:
+        out.append(page_identity(i + 1, seed, n_hosts)[2])
+    elif i % 101 == 1:
+        out.append(page_identity(i - 1, seed, n_hosts)[2])
+    for j in range(k):
+        tm = mix2(i * 7 + j, seed ^ _S_EDGE ^ 0xE)
+        t = tm % n_pages
+        if tm % 13 == 0:  # dead edge → fetch miss
+            h = host_of(_host_id(t, seed, n_hosts))
+            kind = "r" if (tm >> 4) % 2 == 0 else "h"
+            edge = f"http://{h}/dead-{kind}/e{(tm >> 8) % 100000:05d}"
+        else:
+            edge = page_identity(t, seed, n_hosts)[2]
+            if tm % 4 == 0:
+                glue.append(edge)
+        if tm % 7 == 0:  # non-canonical form: canonicalizer must fold it
+            edge = edge.upper() + "#frag"
+        out.append(edge)
+    carry: list[str] = []
+    if not out and em % 2 == 0:
+        carry.append(page_identity((i + 17) % n_pages, seed, n_hosts)[2])
+    return out, glue, carry
+
+
+def page_pixels(i: int, seed: int) -> tuple[np.ndarray, int, int]:
+    """Deterministic pixels for page *i* (counter-based Philox → stable
+    across platforms/runs)."""
+    m = mix2(i, seed ^ _S_IMG)
+    w = 8 + (m % 16)
+    h = 8 + ((m >> 8) % 16)
+    rng = np.random.Generator(np.random.Philox(key=[seed & 0xFFFFFFFF, i]))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8), w, h
+
+
+def _signed64(x: int) -> int:
+    x &= (1 << 64) - 1
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def page_row(i: int, seed: int, n_pages: int, n_hosts: int) -> dict:
+    """Full pages row for index *i* (pure function)."""
+    host, _path, url = page_identity(i, seed, n_hosts)
+    pixels, w, h = page_pixels(i, seed)
+    m = mix2(i, seed ^ _S_IMG ^ 0xF0)
+    fmt = codecs.ALL_FMTS[m % 3]
+    blob = codecs.encode(pixels, fmt)
+    phash = _signed64(mix2(int(pixels.sum()) + (int(pixels[0, 0, 0]) << 32), i))
+    caption = (
+        f"{_ADJ[m % len(_ADJ)]} {_NOUN[(m >> 3) % len(_NOUN)]} "
+        f"{_STYLE[(m >> 6) % len(_STYLE)]} (img-{i:012d})"
+    )
+    out, glue, carry = _edges_of(i, seed, n_pages, n_hosts)
+    return {
+        "image_id": f"img-{i:012d}",
+        "bytes": blob,
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": caption,
+        "phash": phash,
+        "url": url,
+        "host": host,
+        "out_edges": out,
+        "glue_edges": glue,
+        "carry_edges": carry,
+    }
+
+
+def generate_pages(
+    spark: SparkSession,
+    n_pages: int,
+    seed: int = 42,
+    n_hosts: int | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed pages generation: ``spark.range`` → ``mapInPandas``.
+
+    Each Arrow batch builds its rows independently (pure function of id),
+    so generation parallelizes linearly — no driver-side materialization
+    at any scale.
+    """
+    n_hosts = n_hosts or default_n_hosts(n_pages)
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [page_row(int(i), seed, n_pages, n_hosts) for i in pdf["id"].to_numpy()]
+            yield pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA.fields])
+
+    return spark.range(0, n_pages, numPartitions=partitions).mapInPandas(gen, PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------- host state
+
+HOST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("tokens", T.DoubleType(), False),
+        T.StructField("rate", T.DoubleType(), False),
+        T.StructField("burst", T.DoubleType(), False),
+        T.StructField("last_refill_round", T.IntegerType(), False),
+        T.StructField("robots_disallow", T.ArrayType(T.StringType(), False), False),
+        T.StructField("robots_fetched", T.BooleanType(), False),
+    ]
+)
+
+
+def host_policy(host: str, rate_scale: float = 1.0) -> dict:
+    """Politeness policy for a host — pure function of the host string,
+    shared verbatim by engine and oracle. Plays the role of the
+    reference's implicit per-host serialization + timeout budget
+    (/root/reference/run/run.py:59, constants.py:1-2)."""
+    m = str_hash64(host, seed=0xB07)
+    rate = float(2 + m % 3) * rate_scale  # admissions replenished per round
+    burst = rate * 2.0
+    robots = ["/priv"] if m % 3 == 0 else []
+    return {
+        "host": host,
+        "tokens": burst,
+        "rate": rate,
+        "burst": burst,
+        "last_refill_round": -1,
+        "robots_disallow": robots,
+        "robots_fetched": True,
+    }
+
+
+def generate_host_state(pages: DataFrame, rate_scale: float = 1.0) -> DataFrame:
+    """host_state rows for every distinct host in the corpus (distributed:
+    distinct → mapInPandas; never collected to the driver)."""
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                [host_policy(h, rate_scale) for h in pdf["host"]],
+                columns=[f.name for f in HOST_STATE_SCHEMA.fields],
+            )
+
+    return pages.select("host").distinct().mapInPandas(gen, HOST_STATE_SCHEMA)
+
+
+def seed_urls(n_seeds: int, n_pages: int, seed: int = 42, n_hosts: int | None = None) -> list[str]:
+    """The seed list (the analog of the seed hostname file,
+    /root/reference/run/run.py:50-51). Order matters: seed index is the
+    priority tiebreak (SURVEY §2.5 W1)."""
+    n_hosts = n_hosts or default_n_hosts(n_pages)
+    out, taken = [], set()
+    s = 0
+    while len(out) < min(n_seeds, n_pages):
+        t = mix2(s, seed ^ _S_SEED) % n_pages
+        if t not in taken:
+            taken.add(t)
+            out.append(page_identity(t, seed, n_hosts)[2])
+        s += 1
+    return out
+
+
+def splitmix_check() -> int:
+    """Cross-check scalar vs vectorized splitmix (used by tests)."""
+    return splitmix64(12345)
