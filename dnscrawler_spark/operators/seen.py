@@ -1,0 +1,357 @@
+"""Partitioned bloom+cuckoo URL-seen filter (SURVEY §2.3 J3, §4.3.1).
+
+Replaces the reference's three dedup layers — per-process memo
+``past_resolutions`` (/root/reference/dnscrawler/dnsresolver_new.py:
+189-190,268), crawl-level file-exists check (/root/reference/run/
+run.py:23), and per-response rdata dict (/root/reference/dnscrawler/
+pydns.py:63) — with persistent, shard-partitioned state keyed by
+``url_key = xxhash64(canonical_url)``.
+
+Three tiers, so membership is EXACT (north_rule requires seen-set
+parity with the oracle) while staying cheap at 10^10 keys:
+
+1. **bloom** (no false negatives): definite-NOT-SEEN fast path — kills
+   the overwhelmingly common case without touching key storage.
+2. **cuckoo** (16-bit fingerprints, 4-way buckets): near-exact confirm
+   for bloom-maybes; false-positive rate ~2^-13, no false negatives
+   unless a shard overflows (then the shard is flagged degraded and
+   its bloom-maybes fall through to tier 3).
+3. **exact key store** (parquet of url_key per shard per round):
+   final authority — only cuckoo-positives (true dupes + ~0.01% FP)
+   reach this anti-join, so it stays tiny relative to the frontier.
+
+Sharding: ``shard_id = pmod(url_key, n_shards)`` — identical in Spark
+(``pmod``) and numpy (``% n_shards`` on int64 is non-negative for a
+positive divisor). Shard files are copy-on-write per round: a round
+rewrites only touched shards; untouched shards are referenced from the
+parent snapshot (Iceberg-style manifest, sources/snapshots.py). At
+10^10 keys this scales by raising ``n_shards`` (state per shard stays
+executor-memory-sized); no driver-side state ever.
+
+All probe/insert math is vectorized numpy inside ``applyInPandas``
+(Arrow batches); the only scalar loop is the cuckoo eviction kick,
+which touches only keys that failed bulk placement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from dnscrawler_spark.hashing import splitmix64_np
+
+_FP_SALT = np.uint64(0xC0FFEE)
+_H2_SALT = np.uint64(0xB10053ED)
+_MAX_KICKS = 500
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("url_key", T.LongType(), False),
+        T.StructField("maybe_seen", T.BooleanType(), False),
+        T.StructField("needs_exact", T.BooleanType(), False),
+    ]
+)
+
+INSERT_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.IntegerType(), False),
+        T.StructField("n_new", T.LongType(), False),
+        T.StructField("n_items", T.LongType(), False),
+        T.StructField("degraded", T.BooleanType(), False),
+        T.StructField("path", T.StringType(), False),
+    ]
+)
+
+
+def _u64(keys: np.ndarray) -> np.ndarray:
+    return keys.astype(np.int64).view(np.uint64)
+
+
+class _Shard:
+    """In-memory image of one shard's bloom bits + cuckoo table."""
+
+    def __init__(self, n_bits: int, n_buckets: int, k: int):
+        self.bloom = np.zeros(n_bits // 8, dtype=np.uint8)
+        self.table = np.zeros((n_buckets, 4), dtype=np.uint16)
+        self.k = k
+        self.n_bits = n_bits
+        self.n_buckets = n_buckets
+        self.n_items = 0
+        self.degraded = False
+
+    # -- serialization ----------------------------------------------------
+    @classmethod
+    def load(cls, path: str) -> "_Shard":
+        with np.load(path) as z:
+            s = cls(int(z["n_bits"]), int(z["n_buckets"]), int(z["k"]))
+            s.bloom = z["bloom"].copy()
+            s.table = z["table"].copy()
+            s.n_items = int(z["n_items"])
+            s.degraded = bool(z["degraded"])
+            return s
+
+    def save(self, path: str) -> None:
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
+            np.savez(
+                f,
+                bloom=self.bloom,
+                table=self.table,
+                n_bits=self.n_bits,
+                n_buckets=self.n_buckets,
+                k=self.k,
+                n_items=self.n_items,
+                degraded=self.degraded,
+            )
+        os.replace(tmp, path)  # atomic on POSIX
+
+    # -- hashing ----------------------------------------------------------
+    def _bloom_idx(self, keys_u64: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        h1 = splitmix64_np(keys_u64)
+        h2 = splitmix64_np(keys_u64 ^ _H2_SALT) | np.uint64(1)
+        with np.errstate(over="ignore"):
+            idx = (
+                h1[:, None] + np.arange(self.k, dtype=np.uint64)[None, :] * h2[:, None]
+            ) % np.uint64(self.n_bits)
+        return (idx >> np.uint64(3)).astype(np.int64), (idx & np.uint64(7)).astype(np.uint8)
+
+    def _cuckoo_slots(self, keys_u64: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        fp = (splitmix64_np(keys_u64 ^ _FP_SALT) & np.uint64(0xFFFF)) | np.uint64(1)
+        fp = fp.astype(np.uint16)
+        i1 = (splitmix64_np(keys_u64) % np.uint64(self.n_buckets)).astype(np.int64)
+        alt = splitmix64_np(fp.astype(np.uint64)) % np.uint64(self.n_buckets)
+        i2 = (i1.view(np.uint64) ^ alt) % np.uint64(self.n_buckets)
+        return fp, i1, i2.astype(np.int64)
+
+    # -- ops ----------------------------------------------------------------
+    def bloom_probe(self, keys: np.ndarray) -> np.ndarray:
+        byte, bit = self._bloom_idx(_u64(keys))
+        hits = (self.bloom[byte] >> bit) & 1
+        return hits.all(axis=1)
+
+    def bloom_insert(self, keys: np.ndarray) -> None:
+        byte, bit = self._bloom_idx(_u64(keys))
+        np.bitwise_or.at(self.bloom, byte.ravel(), (np.uint8(1) << bit).ravel())
+
+    def cuckoo_probe(self, keys: np.ndarray) -> np.ndarray:
+        fp, i1, i2 = self._cuckoo_slots(_u64(keys))
+        return ((self.table[i1] == fp[:, None]).any(axis=1)) | (
+            (self.table[i2] == fp[:, None]).any(axis=1)
+        )
+
+    def cuckoo_insert(self, keys: np.ndarray) -> None:
+        """Bulk insert: vectorized placement passes, then scalar eviction
+        only for stragglers. Duplicate keys are the caller's problem
+        (insert() dedups first)."""
+        fp, i1, i2 = self._cuckoo_slots(_u64(keys))
+        present = ((self.table[i1] == fp[:, None]).any(axis=1)) | (
+            (self.table[i2] == fp[:, None]).any(axis=1)
+        )
+        todo = np.flatnonzero(~present)
+        rng = np.random.Generator(np.random.Philox(key=[self.n_items & 0xFFFFFFFF, 7]))
+        for j in todo.tolist():
+            f, b1, b2 = int(fp[j]), int(i1[j]), int(i2[j])
+            placed = False
+            for b in (b1, b2):
+                empty = np.flatnonzero(self.table[b] == 0)
+                if empty.size:
+                    self.table[b, empty[0]] = f
+                    placed = True
+                    break
+            if placed:
+                continue
+            b = b1
+            cur = np.uint16(f)
+            for _ in range(_MAX_KICKS):
+                slot = int(rng.integers(0, 4))
+                cur, self.table[b, slot] = self.table[b, slot], cur
+                alt = int(
+                    (np.uint64(b) ^ (splitmix64_np(np.array([cur], dtype=np.uint64))[0]))
+                    % np.uint64(self.n_buckets)
+                )
+                b = alt
+                empty = np.flatnonzero(self.table[b] == 0)
+                if empty.size:
+                    self.table[b, empty[0]] = cur
+                    placed = True
+                    break
+            if not placed:
+                # overflow: shard degrades — bloom-maybes must go exact
+                self.degraded = True
+        self.n_items += int(todo.size)
+
+
+class SeenFilter:
+    """Driver-side handle over the sharded on-disk state.
+
+    ``shard_paths`` maps shard_id → npz path (copy-on-write across
+    rounds); ``key_files`` lists exact-key parquet paths. Both live in
+    the snapshot manifest — this object is cheap and immutable.
+    """
+
+    def __init__(
+        self,
+        state_dir: str,
+        n_shards: int = 32,
+        n_bits: int = 1 << 20,
+        n_buckets: int = 1 << 15,
+        k: int = 7,
+        shard_paths: dict[int, str] | None = None,
+        key_files: list[str] | None = None,
+    ):
+        self.state_dir = state_dir
+        self.n_shards = n_shards
+        self.n_bits = n_bits
+        self.n_buckets = n_buckets
+        self.k = k
+        self.shard_paths = dict(shard_paths or {})
+        self.key_files = list(key_files or [])
+
+    # -- manifest (de)serialization ---------------------------------------
+    def to_manifest(self) -> dict:
+        return {
+            "state_dir": self.state_dir,
+            "n_shards": self.n_shards,
+            "n_bits": self.n_bits,
+            "n_buckets": self.n_buckets,
+            "k": self.k,
+            "shard_paths": {str(k): v for k, v in self.shard_paths.items()},
+            "key_files": self.key_files,
+        }
+
+    @classmethod
+    def from_manifest(cls, m: dict) -> "SeenFilter":
+        return cls(
+            state_dir=m["state_dir"],
+            n_shards=m["n_shards"],
+            n_bits=m["n_bits"],
+            n_buckets=m["n_buckets"],
+            k=m["k"],
+            shard_paths={int(k): v for k, v in m["shard_paths"].items()},
+            key_files=m["key_files"],
+        )
+
+    def _with_shard_col(self, df: DataFrame, key_col: str) -> DataFrame:
+        return df.withColumn("shard_id", F.pmod(F.col(key_col), F.lit(self.n_shards)).cast("int"))
+
+    # -- probe --------------------------------------------------------------
+    def probe(self, keys_df: DataFrame, key_col: str = "url_key") -> DataFrame:
+        """(url_key) → (url_key, maybe_seen, needs_exact).
+
+        ``maybe_seen=False`` is authoritative-unseen (bloom has no false
+        negatives). ``needs_exact`` marks rows that require the exact
+        anti-join (cuckoo hit, or degraded shard).
+        """
+        paths = dict(self.shard_paths)
+        n_bits, n_buckets, k = self.n_bits, self.n_buckets, self.k
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            keys = pdf[key_col].to_numpy(dtype=np.int64)
+            sid = int(pdf["shard_id"].iloc[0])
+            path = paths.get(sid)
+            if path is None or not os.path.exists(path):
+                return pd.DataFrame(
+                    {
+                        "url_key": keys,
+                        "maybe_seen": np.zeros(len(keys), dtype=bool),
+                        "needs_exact": np.zeros(len(keys), dtype=bool),
+                    }
+                )
+            shard = _Shard.load(path)
+            maybe = shard.bloom_probe(keys)
+            cuckoo = np.zeros(len(keys), dtype=bool)
+            if maybe.any():
+                cuckoo[maybe] = shard.cuckoo_probe(keys[maybe])
+            needs_exact = cuckoo | (maybe & shard.degraded)
+            return pd.DataFrame(
+                {"url_key": keys, "maybe_seen": maybe, "needs_exact": needs_exact}
+            )
+
+        keyed = self._with_shard_col(keys_df.select(key_col).distinct(), key_col)
+        return keyed.groupBy("shard_id").applyInPandas(run, PROBE_SCHEMA)
+
+    def filter_unseen(self, df: DataFrame, key_col: str = "url_key") -> DataFrame:
+        """Return only rows of ``df`` whose key is NOT in the seen set
+        (exact semantics). Columns of ``df`` pass through untouched."""
+        spark = df.sparkSession
+        verdict = self.probe(df, key_col).persist()
+        # needs_exact=False is authoritative: either bloom said definite-no,
+        # or a healthy cuckoo said definite-no on a bloom false positive.
+        clear = verdict.filter(~F.col("needs_exact")).select("url_key")
+        suspects = verdict.filter(F.col("needs_exact")).select("url_key")
+        if self.key_files:
+            seen_keys = spark.read.parquet(*self.key_files).select("url_key")
+            confirmed_new = suspects.join(seen_keys, "url_key", "left_anti")
+        else:
+            confirmed_new = suspects
+        unseen_keys = clear.union(confirmed_new).withColumnRenamed("url_key", key_col)
+        return df.join(unseen_keys, key_col, "left_semi")
+
+    # -- insert ---------------------------------------------------------------
+    def insert(self, keys_df: DataFrame, round_no: int, key_col: str = "url_key") -> "SeenFilter":
+        """Insert keys; returns a NEW SeenFilter whose manifest points at
+        the copy-on-write shard files for this round. Also persists the
+        exact keys as parquet (tier 3).
+
+        Runs two jobs: one applyInPandas pass rewriting touched shards,
+        one parquet append of the raw keys.
+        """
+        out_dir = os.path.join(self.state_dir, f"seen_r{round_no:06d}")
+        os.makedirs(out_dir, exist_ok=True)
+        paths = dict(self.shard_paths)
+        n_bits, n_buckets, k = self.n_bits, self.n_buckets, self.k
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            keys = np.unique(pdf[key_col].to_numpy(dtype=np.int64))
+            sid = int(pdf["shard_id"].iloc[0])
+            prev = paths.get(sid)
+            shard = (
+                _Shard.load(prev)
+                if prev and os.path.exists(prev)
+                else _Shard(n_bits, n_buckets, k)
+            )
+            before = shard.n_items
+            shard.bloom_insert(keys)
+            shard.cuckoo_insert(keys)
+            new_path = os.path.join(out_dir, f"shard_{sid:05d}.npz")
+            shard.save(new_path)
+            return pd.DataFrame(
+                {
+                    "shard_id": [sid],
+                    "n_new": [shard.n_items - before],
+                    "n_items": [shard.n_items],
+                    "degraded": [shard.degraded],
+                    "path": [new_path],
+                }
+            )
+
+        keyed = self._with_shard_col(keys_df.select(key_col).distinct(), key_col)
+        stats = keyed.groupBy("shard_id").applyInPandas(run, INSERT_STATS_SCHEMA).collect()
+
+        keys_path = os.path.join(out_dir, "keys.parquet")
+        keys_df.select(key_col).distinct().write.mode("overwrite").parquet(keys_path)
+
+        new_paths = dict(self.shard_paths)
+        for r in stats:
+            new_paths[int(r["shard_id"])] = r["path"]
+        return SeenFilter(
+            state_dir=self.state_dir,
+            n_shards=self.n_shards,
+            n_bits=self.n_bits,
+            n_buckets=self.n_buckets,
+            k=self.k,
+            shard_paths=new_paths,
+            key_files=self.key_files + [keys_path],
+        )
+
+    def save_manifest(self, path: str) -> None:
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(self.to_manifest(), f)
+        os.replace(tmp, path)

@@ -1,0 +1,83 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dnscrawler_spark.operators.seen import SeenFilter, _Shard
+
+
+def test_shard_bloom_no_false_negatives():
+    s = _Shard(n_bits=1 << 14, n_buckets=1 << 8, k=7)
+    keys = np.arange(-500, 500, dtype=np.int64) * 7919
+    s.bloom_insert(keys)
+    assert s.bloom_probe(keys).all()
+
+
+def test_shard_cuckoo_exact_on_inserted():
+    s = _Shard(n_bits=1 << 14, n_buckets=1 << 10, k=7)
+    keys = (np.arange(1000, dtype=np.int64) - 500) * 104729
+    s.cuckoo_insert(keys)
+    assert not s.degraded
+    assert s.cuckoo_probe(keys).all(), "cuckoo must have no false negatives"
+    other = np.arange(10_000, 12_000, dtype=np.int64) * 31 + 7
+    fp_rate = s.cuckoo_probe(other).mean()
+    assert fp_rate < 0.02, fp_rate
+
+
+def test_shard_roundtrip(tmp_path):
+    s = _Shard(n_bits=1 << 12, n_buckets=1 << 6, k=5)
+    keys = np.array([1, -2, 3_000_000_000_000], dtype=np.int64)
+    s.bloom_insert(keys)
+    s.cuckoo_insert(keys)
+    p = str(tmp_path / "x.npz")
+    s.save(p)
+    s2 = _Shard.load(p)
+    assert s2.bloom_probe(keys).all()
+    assert s2.cuckoo_probe(keys).all()
+    assert s2.n_items == s.n_items
+
+
+@pytest.fixture()
+def small_filter(tmp_path):
+    return SeenFilter(str(tmp_path), n_shards=4, n_bits=1 << 14, n_buckets=1 << 8, k=7)
+
+
+def test_insert_then_filter_unseen_is_exact(spark, small_filter):
+    a = spark.range(0, 300).select((F.col("id") * 2654435761).alias("url_key"))
+    b = spark.range(150, 450).select((F.col("id") * 2654435761).alias("url_key"))
+    f1 = small_filter.insert(a, round_no=0)
+    assert sorted(f1.shard_paths) == [0, 1, 2, 3]
+    unseen = f1.filter_unseen(b, "url_key")
+    got = sorted(r["url_key"] for r in unseen.collect())
+    want = sorted((i * 2654435761) for i in range(300, 450))
+    assert got == want, "seen-set must be exact: no FPs dropping rows, no FNs re-admitting"
+    spark.catalog.clearCache()
+
+
+def test_insert_is_copy_on_write(spark, small_filter, tmp_path):
+    a = spark.range(0, 50).select(F.col("id").alias("url_key"))
+    b = spark.range(50, 100).select(F.col("id").alias("url_key"))
+    f1 = small_filter.insert(a, round_no=0)
+    f2 = f1.insert(b, round_no=1)
+    assert any("seen_r000000" in p for p in f1.shard_paths.values())
+    assert all("seen_r000001" in p for p in f2.shard_paths.values())
+    # old filter still answers old state: key 60 unseen for f1, seen for f2
+    probe_df = spark.range(60, 61).select(F.col("id").alias("url_key"))
+    assert f1.filter_unseen(probe_df).count() == 1
+    assert f2.filter_unseen(probe_df).count() == 0
+    spark.catalog.clearCache()
+
+
+def test_manifest_roundtrip(spark, small_filter):
+    a = spark.range(0, 20).select(F.col("id").alias("url_key"))
+    f1 = small_filter.insert(a, round_no=0)
+    m = f1.to_manifest()
+    f2 = SeenFilter.from_manifest(m)
+    probe_df = spark.range(0, 40).select(F.col("id").alias("url_key"))
+    assert f2.filter_unseen(probe_df).count() == 20
+    spark.catalog.clearCache()
+
+
+def test_probe_empty_filter_says_unseen(spark, small_filter):
+    df = spark.range(5).select(F.col("id").alias("url_key"))
+    v = small_filter.probe(df).collect()
+    assert all((not r["maybe_seen"]) and (not r["needs_exact"]) for r in v)
