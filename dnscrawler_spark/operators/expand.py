@@ -1,0 +1,249 @@
+"""Fetch + parse + expand: one crawl wave, vectorized over all admitted
+URLs at once (SURVEY §3.3 — the DataFrame form of the reference's
+``map_name`` ⟷ ``parse`` recursion).
+
+Stage map (reference → here):
+- fetch (S2, pydns.py:31-51)       → equi-join admitted ⋈ pages on url_key
+- NXDOMAIN/rcode classify (P5-P7,  → fetch-miss classification driven by
+  dnsresolver_new.py:220-253)        deterministic URL path markers
+- parse/fact accumulation (A1-A5)  → explode typed fact rows
+- glue join (J1, :125-126)         → candidates ⋈ glue (broadcast-able)
+- expansion (J2, :140-144)         → enqueue glue-misses at lower priority
+- carry-forward (O8, :230-232)     → carry_edges used when out_edges empty
+- cycle break (P11, :127-129)      → anti-join vs in-flight keys,
+                                     collision recorded nonhazardous
+- payload invariant (input_hint)   → decode + PSNR/equality in mapInPandas
+
+Everything except payload verification is native Catalyst (joins,
+filters, explode, windows) — whole-stage codegen end to end.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+from dnscrawler_spark import codecs, datagen
+from dnscrawler_spark.functions.canon import canon_url_col, host_col, url_key_col
+from dnscrawler_spark.functions.suffix import is_ps_host_col, sld_col, tld_col
+from dnscrawler_spark.operators.frontier import (
+    FRONTIER_COLS,
+    PRIORITY_CARRY,
+    PRIORITY_EXPAND,
+    PRIORITY_GLUE,
+    PRIORITY_RETRY_BASE,
+    derive_frontier_cols,
+)
+
+FACTS_SCHEMA = T.StructType(
+    [
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("seed", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("value", T.StringType(), False),
+    ]
+)
+
+GLUE_SCHEMA = T.StructType(
+    [
+        T.StructField("url_key", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+    ]
+)
+
+
+def prepare_pages(pages: DataFrame) -> DataFrame:
+    """Key the corpus once: url is already canonical in datagen, so the
+    key is a pure projection — Catalyst prunes unused columns per stage."""
+    return pages.withColumn("url_key", url_key_col(F.col("url")))
+
+
+def fetch(admitted: DataFrame, pages_keyed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The fetch stage: deterministic 'network' via equi-join on url_key
+    (SURVEY §2.1 S2). Returns (fetched, misses)."""
+    page_cols = [
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+        "out_edges", "glue_edges", "carry_edges",
+    ]
+    joined = admitted.join(
+        pages_keyed.select("url_key", *page_cols), "url_key", "left"
+    )
+    fetched = joined.filter(F.col("image_id").isNotNull())
+    misses = joined.filter(F.col("image_id").isNull()).select(*FRONTIER_COLS)
+    return fetched, misses
+
+
+def classify_misses(misses: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Failure classification on fetch misses (dnsresolver_new.py:237-253
+    made deterministic):
+
+    - numeric last host label       → misconfigured 'ip_ns_records'
+    - retryable (path /dead-r/),    → re-enqueued once, demoted priority
+      first attempt                   (the retry pass, run/run.py:62-67)
+    - second-attempt miss           → misconfigured 'missing_ns_records'
+    - anything else                 → 'hazardous'
+
+    Returns (retries_frontier_rows, terminal_failures_with_class).
+    """
+    labeled = misses.withColumn(
+        "fail_class",
+        F.when(
+            F.element_at(F.split(F.col("host"), r"\."), -1).rlike("^[0-9]+$"),
+            F.lit("ip_ns_records"),
+        )
+        .when(
+            F.col("url").contains("/dead-r/") & (F.col("attempts") == 0),
+            F.lit("retry"),
+        )
+        .when(F.col("attempts") >= 1, F.lit("missing_ns_records"))
+        .otherwise(F.lit("hazardous")),
+    )
+    retries = (
+        labeled.filter(F.col("fail_class") == "retry")
+        .withColumn("priority", F.col("priority") + F.lit(PRIORITY_RETRY_BASE))
+        .withColumn("attempts", F.col("attempts") + 1)
+        .withColumn("reason", F.lit("retry"))
+        .select(*FRONTIER_COLS)
+    )
+    terminal = labeled.filter(F.col("fail_class") != "retry")
+    return retries, terminal
+
+
+def verify_payloads(fetched: DataFrame, gen_seed: int) -> DataFrame:
+    """Per-row payload invariant (BASELINE.json input_hint): decode the
+    fetched bytes and compare against the independently regenerated
+    reference pixels — exact for lossless fmt, PSNR ≥ 40 dB for lossy.
+    Arrow-batched mapInPandas (the codec is the irreducible Python)."""
+    cols = fetched.columns
+
+    def run(batches):
+        for pdf in batches:
+            ok = []
+            for blob, image_id in zip(pdf["bytes"], pdf["image_id"]):
+                i = int(image_id.split("-")[1])
+                ref, _, _ = datagen.page_pixels(i, gen_seed)
+                ok.append(codecs.payload_ok(bytes(blob), ref))
+            pdf = pdf.copy()
+            pdf["payload_ok"] = ok
+            yield pdf
+
+    schema = T.StructType(
+        fetched.schema.fields + [T.StructField("payload_ok", T.BooleanType(), False)]
+    )
+    return fetched.mapInPandas(run, schema)
+
+
+def new_glue(fetched: DataFrame) -> DataFrame:
+    """Glue accumulation (A2, dnsresolver_new.py:73): addresses learned
+    inline from any response."""
+    g = fetched.select(F.explode("glue_edges").alias("url"))
+    g = g.withColumn("url", canon_url_col(F.col("url")))
+    return g.withColumn("url_key", url_key_col(F.col("url"))).select("url_key", "url").distinct()
+
+
+def expand_candidates(
+    fetched: DataFrame, glue: DataFrame, n_salts: int, next_round: int, glue_broadcast: bool = True
+) -> DataFrame:
+    """Edge explosion + glue join + per-key dedup → next-round frontier
+    candidates (before seen/in-flight anti-joins).
+
+    Carry-forward: when a response has no out_edges, its carry_edges
+    play the parent-zone-NS role (O8). Priority bands: glue-hit 1,
+    plain 2, carry 3. Within-round dedup picks the best discovering
+    parent by (priority, depth, seed) — the oracle applies the same
+    rule, so crawl order matches.
+    """
+    edges = fetched.select(
+        F.col("seed"),
+        (F.col("depth") + 1).alias("depth"),
+        F.explode(
+            F.when(F.size("out_edges") > 0, F.col("out_edges")).otherwise(
+                F.col("carry_edges")
+            )
+        ).alias("url"),
+        F.when(F.size("out_edges") > 0, F.lit("expand")).otherwise(F.lit("carry")).alias(
+            "reason"
+        ),
+    )
+    edges = edges.withColumn("url", canon_url_col(F.col("url"))).withColumn(
+        "url_key", url_key_col(F.col("url"))
+    )
+    glue_keys = glue.select("url_key").withColumn("glue_hit", F.lit(True))
+    if glue_broadcast:
+        glue_keys = F.broadcast(glue_keys)
+    edges = edges.join(glue_keys, "url_key", "left")
+    edges = edges.withColumn(
+        "priority",
+        F.when(F.col("reason") == "carry", F.lit(PRIORITY_CARRY))
+        .when(F.col("glue_hit"), F.lit(PRIORITY_GLUE))
+        .otherwise(F.lit(PRIORITY_EXPAND)),
+    ).withColumn(
+        "reason",
+        F.when(
+            (F.col("reason") == "expand") & F.col("glue_hit").isNotNull(), F.lit("glue")
+        ).otherwise(F.col("reason")),
+    )
+    # within-round dedup: one row per url_key, best (priority, depth, seed)
+    w = Window.partitionBy("url_key").orderBy("priority", "depth", "seed")
+    edges = edges.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    edges = (
+        edges.withColumn("round", F.lit(next_round))
+        .withColumn("attempts", F.lit(0))
+        .drop("rn", "glue_hit")
+    )
+    return derive_frontier_cols(edges, n_salts)
+
+
+def fetched_facts(fetched: DataFrame, round_no: int) -> DataFrame:
+    """Typed fact rows from successful fetches (A1/A5): url (address
+    analog), host (ns analog), tld, sld — with the ps_ prefix for
+    public-suffix-tree hosts (dnsresolver_new.py:203-204)."""
+    base = fetched.select(
+        "seed",
+        F.col("url"),
+        F.col("host"),
+        tld_col(F.col("host")).alias("tld"),
+        sld_col(F.col("host")).alias("sld"),
+        is_ps_host_col(F.col("host")).alias("ps"),
+    )
+    facts = base.select(
+        "seed",
+        "ps",
+        F.explode(
+            F.array(
+                F.struct(F.lit("url").alias("kind"), F.col("url").alias("value")),
+                F.struct(F.lit("host").alias("kind"), F.col("host").alias("value")),
+                F.struct(F.lit("tld").alias("kind"), F.col("tld").alias("value")),
+                F.struct(F.lit("sld").alias("kind"), F.col("sld").alias("value")),
+            )
+        ).alias("f"),
+    ).filter(F.col("f.value") != "")
+    return facts.select(
+        F.lit(round_no).alias("round"),
+        F.col("seed"),
+        F.when(F.col("ps"), F.concat(F.lit("ps_"), F.col("f.kind")))
+        .otherwise(F.col("f.kind"))
+        .alias("kind"),
+        F.lower(F.col("f.value")).alias("value"),
+    )
+
+
+def failure_facts(terminal: DataFrame, round_no: int) -> DataFrame:
+    """hazardous/misconfigured fact rows (A3 analog, flattened — the
+    grouped QuerySummaryList shape is rebuilt in results())."""
+    return terminal.select(
+        F.lit(round_no).alias("round"),
+        F.col("seed"),
+        F.col("fail_class").alias("kind"),
+        F.col("url").alias("value"),
+    )
+
+
+def simple_facts(df: DataFrame, kind: str, round_no: int) -> DataFrame:
+    return df.select(
+        F.lit(round_no).alias("round"),
+        F.col("seed"),
+        F.lit(kind).alias("kind"),
+        F.col("url").alias("value"),
+    )

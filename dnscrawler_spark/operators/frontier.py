@@ -82,7 +82,7 @@ def seed_frontier(spark, seed_urls: list[str], n_salts: int = N_SALTS_DEFAULT) -
         .withColumn("seed", canon_url_col(F.col("url")))
         .withColumn("attempts", F.lit(0))
     )
-    return derive_frontier_cols(df, n_salts)
+    return derive_frontier_cols(df, n_salts).dropDuplicates(["url_key"])
 
 
 def repartition_by_host(frontier: DataFrame, n_partitions: int) -> DataFrame:

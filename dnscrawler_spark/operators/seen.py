@@ -212,6 +212,7 @@ class SeenFilter:
         self.k = k
         self.shard_paths = dict(shard_paths or {})
         self.key_files = list(key_files or [])
+        self._persisted: list = []  # probe verdicts cached by filter_unseen
 
     # -- manifest (de)serialization ---------------------------------------
     def to_manifest(self) -> dict:
@@ -281,6 +282,7 @@ class SeenFilter:
         (exact semantics). Columns of ``df`` pass through untouched."""
         spark = df.sparkSession
         verdict = self.probe(df, key_col).persist()
+        self._persisted.append(verdict)
         # needs_exact=False is authoritative: either bloom said definite-no,
         # or a healthy cuckoo said definite-no on a bloom false positive.
         clear = verdict.filter(~F.col("needs_exact")).select("url_key")
@@ -349,6 +351,12 @@ class SeenFilter:
             shard_paths=new_paths,
             key_files=self.key_files + [keys_path],
         )
+
+    def release(self) -> None:
+        """Unpersist any probe verdicts cached by filter_unseen."""
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted.clear()
 
     def save_manifest(self, path: str) -> None:
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"

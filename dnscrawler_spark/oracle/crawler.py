@@ -1,0 +1,181 @@
+"""Pure-Python oracle crawler: the normalized reference semantics.
+
+The reference (/root/reference/dnscrawler/dnsresolver_new.py) cannot run
+offline (live DNS), and its order is only deterministic up to
+``random.choice`` and Python set iteration (SURVEY §7.3). This oracle
+*defines* the normalized semantics both sides must produce — memo/seen
+dedup, glue-first priority, in-flight cycle break, carry-forward,
+retry-then-missing classification, politeness budgets — as a
+single-threaded loop with sorted iteration everywhere.
+
+Parity contract with the Spark engine (north_rule):
+- identical final URL-seen set,
+- identical crawl trace [(round, url)] under the same seed list and
+  politeness budget,
+- identical per-seed fact sets.
+
+No Spark imports: the oracle consumes plain page dicts (from
+``datagen.page_row`` or a collected DataFrame).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+from dnscrawler_spark.datagen import host_policy
+from dnscrawler_spark.functions.canon import canonicalize_url, host_of_url, path_of_url
+from dnscrawler_spark.functions.suffix import extract, is_ps_host
+
+P_SEED, P_GLUE, P_EXPAND, P_CARRY, P_RETRY_BASE = 0, 1, 2, 3, 10
+
+
+@dataclass
+class OracleResult:
+    seen: set[str] = field(default_factory=set)
+    trace: list[tuple[int, str]] = field(default_factory=list)
+    facts: dict[str, dict[str, set[str]]] = field(default_factory=dict)  # seed→kind→values
+    rounds: int = 0
+
+    def fact(self, seed: str, kind: str, value: str) -> None:
+        self.facts.setdefault(seed, defaultdict(set))[kind].add(value)
+
+
+@dataclass
+class _Entry:
+    url: str
+    host: str
+    priority: int
+    depth: int
+    reason: str
+    seed: str
+    attempts: int = 0
+
+    def order_key(self):
+        return (self.priority, self.depth, self.url)
+
+
+def crawl(
+    pages: list[dict],
+    seed_urls: list[str],
+    rate_scale: float = 1.0,
+    max_rounds: int = 64,
+) -> OracleResult:
+    by_url = {p["url"]: p for p in pages}
+    hosts = sorted({p["host"] for p in pages})
+    policy = {h: host_policy(h, rate_scale) for h in hosts}
+    tokens = {h: policy[h]["burst"] for h in hosts}
+
+    res = OracleResult()
+    frontier: list[_Entry] = []
+    for u in dict.fromkeys(canonicalize_url(x) for x in seed_urls):
+        frontier.append(_Entry(u, host_of_url(u), P_SEED, 0, "seed", u))
+
+    glue: set[str] = set()
+    r = 0
+    while frontier and r < max_rounds:
+        # --- refill (politeness.refill) --------------------------------
+        for h in hosts:
+            tokens[h] = min(policy[h]["burst"], tokens[h] + policy[h]["rate"])
+
+        # --- robots gate ------------------------------------------------
+        blocked, candid = [], []
+        for e in frontier:
+            pol = policy.get(e.host)
+            dis = pol["robots_disallow"] if (pol and pol["robots_fetched"]) else []
+            if any(path_of_url(e.url).startswith(p) for p in dis):
+                blocked.append(e)
+            else:
+                candid.append(e)
+        for e in blocked:
+            res.fact(e.seed, "robots_blocked", e.url)
+            res.seen.add(e.url)
+
+        # --- admission: per-host top-budget by (priority, depth, url) ---
+        by_host: dict[str, list[_Entry]] = defaultdict(list)
+        for e in candid:
+            by_host[e.host].append(e)
+        admitted, leftover = [], []
+        for h in sorted(by_host):
+            q = sorted(by_host[h], key=_Entry.order_key)
+            budget = int(math.floor(tokens.get(h, 1.0)))
+            admitted.extend(q[:budget])
+            leftover.extend(q[budget:])
+            if h in tokens:
+                tokens[h] -= len(q[:budget])
+
+        # --- fetch + classify -------------------------------------------
+        fetched, retries = [], []
+        for e in admitted:
+            page = by_url.get(e.url)
+            if page is not None:
+                fetched.append((e, page))
+                continue
+            last_label = e.host.rsplit(".", 1)[-1]
+            if last_label.isdigit():
+                res.fact(e.seed, "ip_ns_records", e.url)
+                res.seen.add(e.url)
+            elif "/dead-r/" in e.url and e.attempts == 0:
+                retries.append(
+                    _Entry(e.url, e.host, e.priority + P_RETRY_BASE, e.depth, "retry", e.seed, 1)
+                )
+            elif e.attempts >= 1:
+                res.fact(e.seed, "missing_ns_records", e.url)
+                res.seen.add(e.url)
+            else:
+                res.fact(e.seed, "hazardous", e.url)
+                res.seen.add(e.url)
+
+        # --- facts + glue accumulation (pass 1 over all responses, like
+        #     the engine's union-then-join) -----------------------------
+        trace_rows = []
+        for e, page in fetched:
+            res.seen.add(e.url)
+            trace_rows.append((e.host, e.priority, e.depth, e.url))
+            tld, sld = extract(e.host)
+            pre = "ps_" if is_ps_host(e.host) else ""
+            res.fact(e.seed, pre + "url", e.url)
+            res.fact(e.seed, pre + "host", e.host)
+            if tld:
+                res.fact(e.seed, pre + "tld", tld)
+            if sld:
+                res.fact(e.seed, pre + "sld", sld)
+            for g in page["glue_edges"]:
+                glue.add(canonicalize_url(g))
+        trace_rows.sort()
+        res.trace.extend((r, t[3]) for t in trace_rows)
+
+        # --- expansion (pass 2): edges, glue priority, dedup -------------
+        cand: dict[str, tuple] = {}
+        for e, page in fetched:
+            edges = page["out_edges"] if page["out_edges"] else page["carry_edges"]
+            carry = not page["out_edges"]
+            for raw in edges:
+                cu = canonicalize_url(raw)
+                if carry:
+                    prio, reason = P_CARRY, "carry"
+                elif cu in glue:
+                    prio, reason = P_GLUE, "glue"
+                else:
+                    prio, reason = P_EXPAND, "expand"
+                key = (prio, e.depth + 1, e.seed)
+                if cu not in cand or key < cand[cu][0]:
+                    cand[cu] = (key, reason)
+
+        inflight = {e.url for e in leftover} | {e.url for e in retries}
+        new_rows = []
+        for cu in sorted(cand):
+            (prio, depth, seed), reason = cand[cu]
+            if cu in res.seen:
+                continue  # memo hit (J3)
+            if cu in inflight:
+                res.fact(seed, "nonhazardous", cu)  # cycle break (P11)
+                continue
+            new_rows.append(_Entry(cu, host_of_url(cu), prio, depth, reason, seed))
+
+        frontier = leftover + retries + new_rows
+        r += 1
+
+    res.rounds = r
+    return res

