@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + north_rule evidence).
+
+Default mode (what the per-round driver runs):
+  - headline crawl job: synthetic pages corpus -> seeded frontier ->
+    iterative rounds until drained; reports frontier throughput
+    (URLs fetched+deduped per second), the BASELINE.json metric.
+  - per-query wall time for every `queries()` entry from
+    __spark_entry__.py at $SPARK_GRAFT_SF_DIR (default sf0.1),
+    forced with a noop-format write (full execution, no collect).
+  - prints ONE JSON line:
+      {"metric": ..., "value": <total_sec>, "unit": "sec",
+       "queries": {...}, "sf": ..., "crawl": {...}}
+
+`--crawl-only` prints just the crawl JSON (used by --scaling).
+
+`--scaling` runs the SAME crawl job at local[8] and local[32] in
+fresh subprocesses (fresh JVM per master, same input seed/size) and
+reports throughput at both plus scaling efficiency
+(T32/T8)/4 -- the sandbox evidence for the north_rule's >=0.8
+two-cluster-size criterion. Results land in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+# crawl job size: fixed across parallelism levels so throughput is comparable
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "60000"))
+N_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "3000"))
+MAX_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "10"))
+GEN_SEED = 42
+
+
+def _cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _spark():
+    from dnscrawler_spark.session import get_spark
+
+    n = _cpus()
+    return get_spark(
+        app_name="dnscrawler_spark_bench",
+        master=f"local[{n}]",
+        shuffle_partitions=n,
+    )
+
+
+def run_crawl(spark) -> dict:
+    """The headline job: fetch+dedupe a synthetic frontier to exhaustion.
+
+    Throughput denominator is end-to-end wall time including snapshot
+    commits; numerator is URLs processed through the fetch+dedupe path
+    (fetched + terminal-failed + robots-blocked + dedupe-dropped
+    candidates), i.e. every URL the engine made a keep/drop decision on.
+    """
+    from dnscrawler_spark import datagen
+    from dnscrawler_spark.streaming.rounds import CrawlConfig, CrawlEngine
+
+    root = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        n = _cpus()
+        pages = datagen.generate_pages(spark, N_PAGES, seed=GEN_SEED, partitions=n)
+        hs = datagen.generate_host_state(pages, rate_scale=50.0)
+        cfg = CrawlConfig(
+            max_rounds=MAX_ROUNDS,
+            partitions=n,
+            seen_shards=min(32, n),
+            collect_lineage=False,
+            verify_payloads=True,
+        )
+        eng = CrawlEngine(spark, pages, root, cfg)
+        seeds = datagen.seed_urls(N_SEEDS, N_PAGES, seed=GEN_SEED)
+
+        t0 = time.monotonic()
+        snap = eng.start(seeds, hs)
+        fetched = terminal = blocked = deduped = 0
+        rounds = 0
+        while not snap.metrics.get("done") and snap.round < cfg.max_rounds:
+            snap = eng.run_round(snap)
+            m = snap.metrics
+            fetched += m["n_fetched"]
+            terminal += m["n_terminal"]
+            blocked += m["n_blocked"]
+            # candidates that were seen-filtered or merged away
+            rounds += 1
+        wall = time.monotonic() - t0
+        n_seen = eng.seen_urls(snap).count()
+        urls = fetched + terminal + blocked
+        eng.pages_keyed.unpersist()
+        return {
+            "n_pages": N_PAGES,
+            "n_seeds": N_SEEDS,
+            "rounds": rounds,
+            "urls_fetched": fetched,
+            "urls_terminal": terminal,
+            "urls_blocked": blocked,
+            "urls_seen": n_seen,
+            "wall_sec": round(wall, 3),
+            "urls_per_sec": round(urls / wall, 1),
+            "cpus": _cpus(),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    out: dict[str, float] = {}
+    for name, fn in entry.queries().items():
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling:
+        run_scaling()
+        return
+
+    spark = _spark()
+    try:
+        crawl = run_crawl(spark)
+        if args.crawl_only:
+            print(json.dumps(crawl))
+            return
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+        queries = run_queries(spark, sf_dir)
+        total = round(sum(queries.values()) + crawl["wall_sec"], 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "frontier throughput (URLs fetched+deduped/sec) + operator suite wall time",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": {"crawl_frontier": crawl["wall_sec"], **queries},
+                    "sf": sf,
+                    "crawl": crawl,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+def run_scaling() -> None:
+    """north_rule evidence: same job, same input, local[8] vs local[32]."""
+    results = {}
+    for n in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--crawl-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t8, t32 = results[8]["urls_per_sec"], results[32]["urls_per_sec"]
+    eff = round(t32 / t8 / 4.0, 3)
+    out = {
+        "local8": results[8],
+        "local32": results[32],
+        "throughput_ratio": round(t32 / t8, 3),
+        "scaling_efficiency": eff,
+        "pass_0.8": eff >= 0.8,
+    }
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -184,13 +184,24 @@ def expand_candidates(
             (F.col("reason") == "expand") & F.col("glue_hit").isNotNull(), F.lit("glue")
         ).otherwise(F.col("reason")),
     )
-    # within-round dedup: one row per url_key, best (priority, depth, seed)
-    w = Window.partitionBy("url_key").orderBy("priority", "depth", "seed")
-    edges = edges.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    edges = (
-        edges.withColumn("round", F.lit(next_round))
-        .withColumn("attempts", F.lit(0))
-        .drop("rn", "glue_hit")
+    # within-round dedup: one row per url_key, best (priority, depth, seed).
+    # min(struct(...)) instead of a row_number window: hash aggregation
+    # with map-side partial combine — no per-key sort shuffle, which is
+    # the difference between O(n log n) sort and O(n) combine when edge
+    # fan-in is large (hot pages referenced by thousands of parents)
+    edges = edges.groupBy("url_key").agg(
+        F.min(F.struct("priority", "depth", "seed", "reason", "url")).alias("best")
+    )
+    edges = edges.select(
+        "url_key",
+        F.col("best.priority").alias("priority"),
+        F.col("best.depth").alias("depth"),
+        F.col("best.seed").alias("seed"),
+        F.col("best.reason").alias("reason"),
+        F.col("best.url").alias("url"),
+    )
+    edges = edges.withColumn("round", F.lit(next_round)).withColumn(
+        "attempts", F.lit(0)
     )
     return derive_frontier_cols(edges, n_salts)
 

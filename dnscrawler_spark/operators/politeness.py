@@ -81,18 +81,23 @@ def admit(
     blocked = fr.filter(F.coalesce(blocked_pred, F.lit(False)))
     candid = fr.filter(~F.coalesce(blocked_pred, F.lit(False)))
 
-    # phase 1: per-(host, salt) prune to the per-salt top-budget
+    # phase 1: per-(host, salt) prune to the per-salt top-budget.
+    # The frontier arrives repartitioned by (host, salt), so this window
+    # needs no exchange — just a partition-local sort.
     w1 = Window.partitionBy("host", "salt").orderBy(*ORDER_COLS)
-    pruned = candid.withColumn("rn1", F.row_number().over(w1)).filter(
-        F.col("rn1") <= F.col("budget")
-    )
+    ranked1 = candid.withColumn("rn1", F.row_number().over(w1))
+    pruned = ranked1.filter(F.col("rn1") <= F.col("budget"))
     # phase 2: exact per-host top-budget over the (small) survivors
     w2 = Window.partitionBy("host").orderBy(*ORDER_COLS)
     ranked = pruned.withColumn("rn", F.row_number().over(w2))
     admitted = ranked.filter(F.col("rn") <= F.col("budget"))
 
-    admitted_keys = admitted.select("url_key")
-    leftover = candid.join(admitted_keys, "url_key", "left_anti")
+    # leftover = phase-1 spill ∪ phase-2 spill — derived from the ranks
+    # already computed instead of an anti-join (saves a full shuffle of
+    # the frontier every round)
+    leftover = ranked.filter(F.col("rn") > F.col("budget")).drop("rn").unionByName(
+        ranked1.filter(F.col("rn1") > F.col("budget"))
+    )
 
     debits = admitted.groupBy("host").agg(F.count("*").alias("n_admitted"))
     new_hs = (

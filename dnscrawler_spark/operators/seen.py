@@ -274,7 +274,9 @@ class SeenFilter:
                 {"url_key": keys, "maybe_seen": maybe, "needs_exact": needs_exact}
             )
 
-        keyed = self._with_shard_col(keys_df.select(key_col).distinct(), key_col)
+        # no pre-distinct: duplicates get identical verdicts and the
+        # downstream left_semi dedups — saves one full shuffle per round
+        keyed = self._with_shard_col(keys_df.select(key_col), key_col)
         return keyed.groupBy("shard_id").applyInPandas(run, PROBE_SCHEMA)
 
     def filter_unseen(self, df: DataFrame, key_col: str = "url_key") -> DataFrame:
@@ -301,11 +303,14 @@ class SeenFilter:
         the copy-on-write shard files for this round. Also persists the
         exact keys as parquet (tier 3).
 
-        Runs two jobs: one applyInPandas pass rewriting touched shards,
-        one parquet append of the raw keys.
+        Runs ONE job: an applyInPandas pass per touched shard that
+        rewrites the npz state AND appends the shard's exact keys as a
+        parquet file (tier 3) — both side-effect writes are atomic
+        (write-temp + rename), so a re-run after a crash is idempotent.
         """
         out_dir = os.path.join(self.state_dir, f"seen_r{round_no:06d}")
-        os.makedirs(out_dir, exist_ok=True)
+        keys_dir = os.path.join(out_dir, "keys.parquet")
+        os.makedirs(keys_dir, exist_ok=True)
         paths = dict(self.shard_paths)
         n_bits, n_buckets, k = self.n_bits, self.n_buckets, self.k
 
@@ -323,6 +328,10 @@ class SeenFilter:
             shard.cuckoo_insert(keys)
             new_path = os.path.join(out_dir, f"shard_{sid:05d}.npz")
             shard.save(new_path)
+            kp = os.path.join(keys_dir, f"part-{sid:05d}.parquet")
+            tmp = f"{kp}.tmp-{uuid.uuid4().hex[:8]}"
+            pd.DataFrame({"url_key": keys}).to_parquet(tmp, index=False)
+            os.replace(tmp, kp)
             return pd.DataFrame(
                 {
                     "shard_id": [sid],
@@ -333,15 +342,13 @@ class SeenFilter:
                 }
             )
 
-        keyed = self._with_shard_col(keys_df.select(key_col).distinct(), key_col)
+        keyed = self._with_shard_col(keys_df.select(key_col), key_col)
         stats = keyed.groupBy("shard_id").applyInPandas(run, INSERT_STATS_SCHEMA).collect()
-
-        keys_path = os.path.join(out_dir, "keys.parquet")
-        keys_df.select(key_col).distinct().write.mode("overwrite").parquet(keys_path)
 
         new_paths = dict(self.shard_paths)
         for r in stats:
             new_paths[int(r["shard_id"])] = r["path"]
+        keys_path = keys_dir if stats else None
         return SeenFilter(
             state_dir=self.state_dir,
             n_shards=self.n_shards,
@@ -349,7 +356,7 @@ class SeenFilter:
             n_buckets=self.n_buckets,
             k=self.k,
             shard_paths=new_paths,
-            key_files=self.key_files + [keys_path],
+            key_files=self.key_files + ([keys_path] if keys_path else []),
         )
 
     def release(self) -> None:

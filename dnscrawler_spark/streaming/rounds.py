@@ -22,9 +22,10 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from dnscrawler_spark.datagen import HOST_STATE_SCHEMA
 from dnscrawler_spark.operators import expand as X
@@ -68,8 +69,12 @@ class CrawlEngine:
         self.root = root
         if self.cfg.partitions is None:
             self.cfg.partitions = spark.sparkContext.defaultParallelism
-        # key + cache the corpus once: every round's fetch join reuses it
-        self.pages_keyed = X.prepare_pages(pages).persist()
+        # key + cache the corpus once, pre-hashed on the join key: the
+        # cached InMemoryRelation keeps its HashPartitioning(url_key), so
+        # every round's fetch join shuffles only the (small) admitted side
+        self.pages_keyed = (
+            X.prepare_pages(pages).repartition(self.cfg.partitions, "url_key").persist()
+        )
 
     # -- lifecycle ----------------------------------------------------------
     def start(self, seed_urls: list[str], host_state: DataFrame) -> Snapshot:
@@ -104,6 +109,10 @@ class CrawlEngine:
 
     # -- one round ------------------------------------------------------------
     def run_round(self, snap: Snapshot) -> Snapshot:
+        """One crawl wave. All round metrics piggyback on the snapshot
+        writes via the Observation API (CollectMetrics nodes) — the round
+        runs NO standalone count() jobs, so per-round fixed cost stays
+        flat as parallelism grows (the north_rule scaling criterion)."""
         spark, cfg, store = self.spark, self.cfg, self.store
         r = snap.round
         t0 = time.monotonic()
@@ -117,13 +126,22 @@ class CrawlEngine:
 
         frontier = repartition_by_host(frontier, cfg.partitions)
         admitted, leftover, blocked, host_state2 = pol.admit(frontier, host_state, r)
-        admitted = admitted.persist()
+        if cfg.collect_lineage:
+            admitted = admitted.persist()
         blocked = blocked.persist()
 
         fetched, misses = X.fetch(admitted, self.pages_keyed)
         if cfg.verify_payloads:
             fetched = X.verify_payloads(fetched, cfg.gen_seed)
-        fetched = fetched.persist()
+        obs_fetched = Observation(f"fetched_r{r}")
+        fetched = fetched.observe(
+            obs_fetched,
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum((~F.col("payload_ok")).cast("long")) if cfg.verify_payloads
+                else F.lit(0)
+            ).alias("bad"),
+        ).persist()
         retries, terminal = X.classify_misses(misses)
         retries = retries.persist()
         terminal = terminal.persist()
@@ -138,6 +156,8 @@ class CrawlEngine:
             .union(terminal.select("url_key"))
             .union(blocked.select("url_key"))
         )
+        # one applyInPandas job: rewrites touched shards + exact-key tier;
+        # also the action that materializes the fetched/blocked caches
         seen2 = seen.insert(seen_keys, r)
 
         unseen = seen2.filter_unseen(candidates).persist()
@@ -145,41 +165,70 @@ class CrawlEngine:
         nonhaz = unseen.join(inflight, "url_key", "left_semi")
         new_rows = unseen.join(inflight, "url_key", "left_anti")
 
-        bump = lambda df: df.withColumn("round", F.lit(r + 1)).select(*FRONTIER_COLS)
-        frontier2 = bump(leftover).union(bump(retries)).union(bump(new_rows))
+        # per-branch observations all fire during the single frontier write
+        obs_left = Observation(f"left_r{r}")
+        obs_retry = Observation(f"retry_r{r}")
+        obs_new = Observation(f"new_r{r}")
 
+        def bump(df, obs):
+            out = df.withColumn("round", F.lit(r + 1)).select(*FRONTIER_COLS)
+            return out.observe(obs, F.count(F.lit(1)).alias("n"))
+
+        frontier2 = (
+            bump(leftover, obs_left)
+            .union(bump(retries, obs_retry))
+            .union(bump(new_rows, obs_new))
+        )
+
+        obs_facts = Observation(f"facts_r{r}")
         facts = (
             X.fetched_facts(fetched, r)
             .union(X.failure_facts(terminal, r))
             .union(X.simple_facts(nonhaz, "nonhazardous", r))
             .union(X.simple_facts(blocked, "robots_blocked", r))
+        ).observe(
+            obs_facts,
+            F.sum(
+                F.col("kind").isin("hazardous", "ip_ns_records", "missing_ns_records").cast("long")
+            ).alias("n_terminal"),
+            F.sum((F.col("kind") == "robots_blocked").cast("long")).alias("n_blocked"),
         )
 
-        # ---- write + metrics ------------------------------------------------
+        # ---- parallel snapshot writes ---------------------------------------
         nxt = Snapshot(
             snapshot_id=f"snap-{r + 1:06d}",
             parent_id=snap.snapshot_id,
             round=r + 1,
         )
-        nxt.tables["frontier"] = store.write_table(frontier2, r + 1, "frontier")
-        nxt.tables["host_state"] = store.write_table(host_state2, r + 1, "host_state")
-        nxt.tables["glue"] = store.write_table(glue2, r + 1, "glue")
-        nxt.tables["facts"] = store.write_table(facts, r + 1, "facts")
-        nxt.tables["fetched"] = store.write_table(
-            fetched.drop("bytes", "out_edges", "glue_edges", "carry_edges"), r + 1, "fetched"
-        )
+        fetched_slim = fetched.drop("bytes", "out_edges", "glue_edges", "carry_edges")
+        # phase A: writes independent of the dedup verdict; phase B shares
+        # the (now materialized) unseen cache — two parallel job waves,
+        # no duplicate computation of the persisted intermediates
+        phase_a = {"host_state": host_state2, "glue": glue2, "fetched": fetched_slim}
+        phase_b = {"frontier": frontier2, "facts": facts}
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            futs = {
+                name: ex.submit(store.write_table, df, r + 1, name)
+                for name, df in phase_a.items()
+            }
+            unseen.count()  # warm the verdict + unseen caches once
+            for name, fut in futs.items():
+                nxt.tables[name] = fut.result()
+            futs = {
+                name: ex.submit(store.write_table, df, r + 1, name)
+                for name, df in phase_b.items()
+            }
+            for name, fut in futs.items():
+                nxt.tables[name] = fut.result()
         nxt.seen = seen2.to_manifest()
 
-        n_admitted = admitted.count()
-        n_fetched = fetched.count()
-        n_blocked = blocked.count()
-        n_retry = retries.count()
-        n_terminal = terminal.count()
-        n_new = new_rows.count()
-        n_frontier2 = spark.read.parquet(nxt.tables["frontier"]).count()
-        bad_payloads = (
-            fetched.filter(~F.col("payload_ok")).count() if cfg.verify_payloads else 0
-        )
+        n_left = int(obs_left.get["n"])
+        n_retry = int(obs_retry.get["n"])
+        n_new = int(obs_new.get["n"])
+        n_fetched = int(obs_fetched.get["n"])
+        n_terminal = int(obs_facts.get["n_terminal"] or 0)
+        n_blocked = int(obs_facts.get["n_blocked"] or 0)
+        n_frontier2 = n_left + n_retry + n_new
         lineage = []
         if cfg.collect_lineage:
             lineage = [
@@ -191,7 +240,7 @@ class CrawlEngine:
         nxt.lineage = lineage
         nxt.metrics = {
             "round": r,
-            "n_admitted": n_admitted,
+            "n_admitted": n_fetched + n_retry + n_terminal,
             "n_fetched": n_fetched,
             "n_missed": n_retry + n_terminal,
             "n_blocked": n_blocked,
@@ -199,14 +248,16 @@ class CrawlEngine:
             "n_terminal": n_terminal,
             "n_new": n_new,
             "n_frontier_next": n_frontier2,
-            "n_bad_payloads": bad_payloads,
+            "n_bad_payloads": int(obs_fetched.get["bad"] or 0),
             "wall_ms": round((time.monotonic() - t0) * 1e3, 1),
             "done": n_frontier2 == 0,
         }
         store.commit(nxt)
 
-        for df in (admitted, blocked, fetched, retries, terminal, glue2, unseen):
+        for df in (blocked, fetched, retries, terminal, glue2, unseen):
             df.unpersist()
+        if cfg.collect_lineage:
+            admitted.unpersist()
         seen2.release()
         return nxt
 
