@@ -177,6 +177,117 @@ def q_f12_xxhash_keys(spark, sf):
     return d.select("doc_id", F.xxhash64("text").alias("url_key"))
 
 
+def q_p3_conditional_split(spark, sf):
+    # address-type split P3 (dnsresolver_new.py:70-82): when/otherwise
+    # routing + per-class aggregation
+    ev = _t(spark, sf, "events")
+    return (
+        ev.withColumn(
+            "family",
+            F.when(F.col("value") >= 50, F.lit("high")).otherwise(F.lit("low")),
+        )
+        .groupBy("event_type", "family")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
+def q_p10_cross_key_filter(spark, sf):
+    # cross-domain predicate P10 (dnsresolver_new.py:130-133): join then
+    # keep only pairs whose keys mismatch
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    j = c.join(s, c["c_nationkey"] == s["s_nationkey"], "inner")
+    return (
+        j.filter(F.col("c_custkey") % 100 != F.col("s_suppkey") % 100)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def q_j4_union_by_key(spark, sf):
+    # response merge J4 (dnsresolver_new.py:231,234): union-by-key of
+    # set-valued facts across sources
+    c = _t(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.col("c_mktsegment").alias("tag")
+    )
+    o = (
+        _t(spark, sf, "orders")
+        .join(_t(spark, sf, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_nationkey").alias("nationkey"), F.col("o_orderpriority").alias("tag"))
+    )
+    return (
+        c.union(o)
+        .groupBy("nationkey")
+        .agg(F.array_join(F.sort_array(F.collect_set("tag")), ",").alias("tags"))
+    )
+
+
+def q_a4_dedup_by_key(spark, sf):
+    # per-response rdata dedup A4 (pydns.py:63): one row per key, keeping
+    # the min payload (deterministic stand-in for dict-insert order)
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.min("l_quantity").alias("qty"))
+        .groupBy()
+        .agg(F.count("*").alias("n_rows"), F.round(F.sum("qty"), 2).alias("sum_qty"))
+    )
+
+
+def q_f1_f11_canon(spark, sf):
+    # the URL-canonicalizer function family F1-F11 exercised as one
+    # expression pipeline: lower, trim/regex, split, slice, concat_ws
+    p = _t(spark, sf, "part")
+    labels = F.split(F.lower(F.col("p_type")), " ")
+    return p.select(
+        F.col("p_partkey"),
+        F.concat_ws(".", F.slice(labels, 2, 2)).alias("canon_suffix"),
+        F.element_at(labels, 1).alias("first_label"),
+        F.length(F.regexp_replace(F.col("p_name"), "[aeiou]", "")).alias("consonants"),
+    )
+
+
+def q_composite_order_revenue(spark, sf):
+    # composite probe: 3-way join + filter + agg + top-k (the analysis
+    # query shape of run/pandastest.py at TPC-H scale)
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    j = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    agg = j.groupBy("o_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("o_orderkey", "o_orderdate", "revenue", "rn")
+    )
+
+
+def q_composite_region_volume(spark, sf):
+    # composite probe: 5-way star join through dims (broadcast-heavy)
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    j = (
+        r.join(n, F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(c, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    return j.groupBy("r_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline operators
 # --------------------------------------------------------------------------
@@ -250,6 +361,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_value_filter": q_p6_value_filter,
         "f3_label_split": q_f3_label_split,
         "f12_xxhash_keys": q_f12_xxhash_keys,
+        "p3_conditional_split": q_p3_conditional_split,
+        "p10_cross_key_filter": q_p10_cross_key_filter,
+        "j4_union_by_key": q_j4_union_by_key,
+        "a4_dedup_by_key": q_a4_dedup_by_key,
+        "f1_f11_canon": q_f1_f11_canon,
+        "composite_order_revenue": q_composite_order_revenue,
+        "composite_region_volume": q_composite_region_volume,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -350,6 +468,66 @@ def oracle_sql() -> dict[str, str]:
         "f3_label_split": """
             SELECT split_part(p_type, ' ', 1) AS first_word, count(*) AS n
             FROM part GROUP BY first_word
+        """,
+        "p3_conditional_split": """
+            SELECT event_type,
+                   CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS family,
+                   count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY event_type, family
+        """,
+        "p10_cross_key_filter": """
+            SELECT c_nationkey, count(*) AS n_pairs
+            FROM customer JOIN supplier ON c_nationkey = s_nationkey
+            WHERE c_custkey % 100 <> s_suppkey % 100
+            GROUP BY c_nationkey
+        """,
+        "j4_union_by_key": """
+            WITH u AS (
+              SELECT c_nationkey AS nationkey, c_mktsegment AS tag FROM customer
+              UNION ALL
+              SELECT c_nationkey AS nationkey, o_orderpriority AS tag
+              FROM orders JOIN customer ON o_custkey = c_custkey)
+            SELECT nationkey,
+                   string_agg(DISTINCT tag, ',' ORDER BY tag) AS tags
+            FROM u GROUP BY nationkey
+        """,
+        "a4_dedup_by_key": """
+            SELECT count(*) AS n_rows, round(sum(qty), 2) AS sum_qty FROM (
+              SELECT l_orderkey, l_linenumber, min(l_quantity) AS qty
+              FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        """,
+        "f1_f11_canon": """
+            SELECT p_partkey,
+                   coalesce(array_to_string(list_slice(string_split(lower(p_type), ' '), 2, 3), '.'), '')
+                     AS canon_suffix,
+                   string_split(lower(p_type), ' ')[1] AS first_label,
+                   length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS consonants
+            FROM part
+        """,
+        "composite_order_revenue": """
+            SELECT o_orderkey, o_orderdate, revenue, rn FROM (
+              SELECT o_orderkey, o_orderdate,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                     row_number() OVER (
+                       ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC,
+                                o_orderkey) AS rn
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+              GROUP BY o_orderkey, o_orderdate)
+            WHERE rn <= 20
+        """,
+        "composite_region_volume": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM region
+            JOIN nation ON r_regionkey = n_regionkey
+            JOIN customer ON n_nationkey = c_nationkey
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY r_name
         """,
         "dedup_exact": f"""
             SELECT lang, count(DISTINCT {NORM}) AS n_unique, count(*) AS n_docs

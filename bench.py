@@ -38,9 +38,11 @@ sys.path.insert(0, REPO)
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 
 # crawl job size: fixed across parallelism levels so throughput is comparable
-N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "60000"))
-N_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "3000"))
-MAX_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "10"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
+N_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "150000"))
+MAX_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "4"))
+PX_SCALE = int(os.environ.get("SPARK_GRAFT_BENCH_PX", "6"))
+RATE_SCALE = float(os.environ.get("SPARK_GRAFT_BENCH_RATE", "2000"))
 GEN_SEED = 42
 
 
@@ -52,10 +54,14 @@ def _spark():
     from dnscrawler_spark.session import get_spark
 
     n = _cpus()
+    # shuffle width is data-driven, not core-driven: a high initial
+    # partition count + AQE size-based coalescing yields the SAME
+    # physical plans at every parallelism level, so the N-vs-4N scaling
+    # comparison varies only the executor thread count
     return get_spark(
         app_name="dnscrawler_spark_bench",
         master=f"local[{n}]",
-        shuffle_partitions=n,
+        shuffle_partitions=max(64, 2 * n),
     )
 
 
@@ -73,16 +79,20 @@ def run_crawl(spark) -> dict:
     root = tempfile.mkdtemp(prefix="bench_crawl_")
     try:
         n = _cpus()
-        pages = datagen.generate_pages(spark, N_PAGES, seed=GEN_SEED, partitions=n)
-        hs = datagen.generate_host_state(pages, rate_scale=50.0)
+        n_hosts = datagen.default_n_hosts(N_PAGES)
+        hs = datagen.generate_host_state_synthetic(spark, n_hosts, rate_scale=RATE_SCALE)
         cfg = CrawlConfig(
             max_rounds=MAX_ROUNDS,
             partitions=n,
-            seen_shards=min(32, n),
+            seen_shards=32,  # fixed state layout across parallelism levels
             collect_lineage=False,
             verify_payloads=True,
+            fetch_mode="synthetic",  # per-URL outbound fetch, no corpus join
+            px_scale=PX_SCALE,
+            n_pages=N_PAGES,
+            n_hosts=n_hosts,
         )
-        eng = CrawlEngine(spark, pages, root, cfg)
+        eng = CrawlEngine(spark, None, root, cfg)
         seeds = datagen.seed_urls(N_SEEDS, N_PAGES, seed=GEN_SEED)
 
         t0 = time.monotonic()
@@ -100,10 +110,12 @@ def run_crawl(spark) -> dict:
         wall = time.monotonic() - t0
         n_seen = eng.seen_urls(snap).count()
         urls = fetched + terminal + blocked
-        eng.pages_keyed.unpersist()
+        if eng.pages_keyed is not None:
+            eng.pages_keyed.unpersist()
         return {
             "n_pages": N_PAGES,
             "n_seeds": N_SEEDS,
+            "px_scale": PX_SCALE,
             "rounds": rounds,
             "urls_fetched": fetched,
             "urls_terminal": terminal,

@@ -134,12 +134,14 @@ def _edges_of(i: int, seed: int, n_pages: int, n_hosts: int) -> tuple[list[str],
     return out, glue, carry
 
 
-def page_pixels(i: int, seed: int) -> tuple[np.ndarray, int, int]:
+def page_pixels(i: int, seed: int, px_scale: int = 1) -> tuple[np.ndarray, int, int]:
     """Deterministic pixels for page *i* (counter-based Philox → stable
-    across platforms/runs)."""
+    across platforms/runs). ``px_scale`` multiplies the 8-24 px base
+    dimensions — bench corpora use larger scales so fetch+verify carries
+    realistic image-decode cost per URL; tests use 1."""
     m = mix2(i, seed ^ _S_IMG)
-    w = 8 + (m % 16)
-    h = 8 + ((m >> 8) % 16)
+    w = (8 + (m % 16)) * px_scale
+    h = (8 + ((m >> 8) % 16)) * px_scale
     rng = np.random.Generator(np.random.Philox(key=[seed & 0xFFFFFFFF, i]))
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8), w, h
 
@@ -149,10 +151,10 @@ def _signed64(x: int) -> int:
     return x - (1 << 64) if x >= (1 << 63) else x
 
 
-def page_row(i: int, seed: int, n_pages: int, n_hosts: int) -> dict:
+def page_row(i: int, seed: int, n_pages: int, n_hosts: int, px_scale: int = 1) -> dict:
     """Full pages row for index *i* (pure function)."""
     host, _path, url = page_identity(i, seed, n_hosts)
-    pixels, w, h = page_pixels(i, seed)
+    pixels, w, h = page_pixels(i, seed, px_scale)
     m = mix2(i, seed ^ _S_IMG ^ 0xF0)
     fmt = codecs.ALL_FMTS[m % 3]
     blob = codecs.encode(pixels, fmt)
@@ -184,6 +186,7 @@ def generate_pages(
     seed: int = 42,
     n_hosts: int | None = None,
     partitions: int | None = None,
+    px_scale: int = 1,
 ) -> DataFrame:
     """Distributed pages generation: ``spark.range`` → ``mapInPandas``.
 
@@ -196,7 +199,10 @@ def generate_pages(
 
     def gen(batches):
         for pdf in batches:
-            rows = [page_row(int(i), seed, n_pages, n_hosts) for i in pdf["id"].to_numpy()]
+            rows = [
+                page_row(int(i), seed, n_pages, n_hosts, px_scale)
+                for i in pdf["id"].to_numpy()
+            ]
             yield pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA.fields])
 
     return spark.range(0, n_pages, numPartitions=partitions).mapInPandas(gen, PAGES_SCHEMA)
@@ -249,6 +255,23 @@ def generate_host_state(pages: DataFrame, rate_scale: float = 1.0) -> DataFrame:
             )
 
     return pages.select("host").distinct().mapInPandas(gen, HOST_STATE_SCHEMA)
+
+
+def generate_host_state_synthetic(
+    spark: SparkSession, n_hosts: int, rate_scale: float = 1.0
+) -> DataFrame:
+    """host_state for the synthetic-fetch engine (no corpus table to
+    scan): the corpus host set is exactly ``host_of(0..n_hosts-1)``, a
+    pure function of the id — generated distributed, never collected."""
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                [host_policy(host_of(int(j)), rate_scale) for j in pdf["id"]],
+                columns=[f.name for f in HOST_STATE_SCHEMA.fields],
+            )
+
+    return spark.range(0, n_hosts).mapInPandas(gen, HOST_STATE_SCHEMA)
 
 
 def seed_urls(n_seeds: int, n_pages: int, seed: int = 42, n_hosts: int | None = None) -> list[str]:

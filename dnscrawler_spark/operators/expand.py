@@ -59,19 +59,110 @@ def prepare_pages(pages: DataFrame) -> DataFrame:
     return pages.withColumn("url_key", url_key_col(F.col("url")))
 
 
+PAGE_COLS = [
+    "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+    "out_edges", "glue_edges", "carry_edges",
+]
+
+
 def fetch(admitted: DataFrame, pages_keyed: DataFrame) -> tuple[DataFrame, DataFrame]:
     """The fetch stage: deterministic 'network' via equi-join on url_key
     (SURVEY §2.1 S2). Returns (fetched, misses)."""
-    page_cols = [
-        "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-        "out_edges", "glue_edges", "carry_edges",
-    ]
     joined = admitted.join(
-        pages_keyed.select("url_key", *page_cols), "url_key", "left"
+        pages_keyed.select("url_key", *PAGE_COLS), "url_key", "left"
     )
     fetched = joined.filter(F.col("image_id").isNotNull())
     misses = joined.filter(F.col("image_id").isNull()).select(*FRONTIER_COLS)
     return fetched, misses
+
+
+def fetch_synthetic(
+    admitted: DataFrame,
+    gen_seed: int,
+    n_pages: int,
+    n_hosts: int,
+    px_scale: int = 1,
+    verify: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Fetch as an outbound per-URL call (no corpus table, no join): the
+    synthetic web is a pure function of the URL, so each Arrow batch
+    regenerates its pages in place — exactly how a real fetch stage
+    behaves (embarrassingly parallel, zero shuffle, decode cost per URL).
+    Identity rule: a URL is fetchable iff it round-trips through
+    ``datagen.page_identity`` — the same membership the corpus join
+    gives, without materializing the corpus.
+
+    Payload bytes NEVER leave this stage: the per-row invariant
+    (decode + PSNR/equality, BASELINE.json input_hint) runs inside the
+    same batch and only ``payload_ok`` plus slim metadata cross the
+    Arrow boundary — at 10^10 URLs, shipping payloads through the
+    shuffle/cache layer is the difference between a fetch stage and a
+    data-movement accident (a real fetcher sinks blobs to object
+    storage in the fetch task).
+
+    Returns ONE enriched DataFrame (admitted cols + slim page cols +
+    ``payload_ok`` + ``is_hit``) so the caller can persist it ONCE and
+    split hit/miss from the cache — returning two lazy branches would
+    recompute the whole fetch per consumer.
+    """
+    from dnscrawler_spark import codecs, datagen  # local import, avoids cycles
+
+    in_cols = admitted.columns
+    slim_names = [
+        f.name for f in datagen.PAGES_SCHEMA.fields
+        if f.name in PAGE_COLS and f.name != "bytes"
+    ]
+    schema = T.StructType(
+        [admitted.schema[c] for c in in_cols]
+        + [
+            T.StructField(f.name, f.dataType, True)  # null on miss rows
+            for f in datagen.PAGES_SCHEMA.fields
+            if f.name in slim_names
+        ]
+        + [
+            T.StructField("payload_ok", T.BooleanType(), True),
+            T.StructField("is_hit", T.BooleanType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out_rows, ok = [], []
+            for url in pdf["url"]:
+                i = _url_page_index(url)
+                if (
+                    i is None
+                    or i >= n_pages
+                    or datagen.page_identity(i, gen_seed, n_hosts)[2] != url
+                ):
+                    out_rows.append(None)
+                    ok.append(None)
+                    continue
+                row = datagen.page_row(i, gen_seed, n_pages, n_hosts, px_scale)
+                if verify:
+                    ref, _, _ = datagen.page_pixels(i, gen_seed, px_scale)
+                    ok.append(codecs.payload_ok(row["bytes"], ref))
+                else:
+                    ok.append(True)
+                out_rows.append(row)
+            res = pdf.copy()
+            for name in slim_names:
+                res[name] = [r[name] if r else None for r in out_rows]
+            res["payload_ok"] = ok
+            res["is_hit"] = [r is not None for r in out_rows]
+            yield res
+
+    return admitted.mapInPandas(run, schema)
+
+
+def _url_page_index(url: str) -> int | None:
+    """Parse the page index from a canonical corpus URL path
+    (``.../img-{i:012d}``); None for dead/foreign URLs."""
+    j = url.rfind("/img-")
+    if j < 0:
+        return None
+    digits = url[j + 5 :]
+    return int(digits) if digits.isdigit() and len(digits) == 12 else None
 
 
 def classify_misses(misses: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -110,19 +201,18 @@ def classify_misses(misses: DataFrame) -> tuple[DataFrame, DataFrame]:
     return retries, terminal
 
 
-def verify_payloads(fetched: DataFrame, gen_seed: int) -> DataFrame:
+def verify_payloads(fetched: DataFrame, gen_seed: int, px_scale: int = 1) -> DataFrame:
     """Per-row payload invariant (BASELINE.json input_hint): decode the
     fetched bytes and compare against the independently regenerated
     reference pixels — exact for lossless fmt, PSNR ≥ 40 dB for lossy.
     Arrow-batched mapInPandas (the codec is the irreducible Python)."""
-    cols = fetched.columns
 
     def run(batches):
         for pdf in batches:
             ok = []
             for blob, image_id in zip(pdf["bytes"], pdf["image_id"]):
                 i = int(image_id.split("-")[1])
-                ref, _, _ = datagen.page_pixels(i, gen_seed)
+                ref, _, _ = datagen.page_pixels(i, gen_seed, px_scale)
                 ok.append(codecs.payload_ok(bytes(blob), ref))
             pdf = pdf.copy()
             pdf["payload_ok"] = ok

@@ -85,9 +85,13 @@ def seed_frontier(spark, seed_urls: list[str], n_salts: int = N_SALTS_DEFAULT) -
     return derive_frontier_cols(df, n_salts).dropDuplicates(["url_key"])
 
 
-def repartition_by_host(frontier: DataFrame, n_partitions: int) -> DataFrame:
+def repartition_by_host(frontier: DataFrame, n_partitions: int | None = None) -> DataFrame:
     """Explicit hash partitioning by (host, salt) — the engine's analog
     of one-seed-per-process (/root/reference/run/run.py:56): politeness
     decisions for a host stay within one task per salt (SURVEY §2.9 X1,
-    O10)."""
-    return frontier.repartition(n_partitions, "host", "salt")
+    O10). No fixed width: leaving numPartitions unset keeps the exchange
+    AQE-coalescible, so partition count follows data size (tiny rounds
+    collapse to a few tasks; 10^10-key rounds fan out to the cap)."""
+    if n_partitions is not None:
+        return frontier.repartition(n_partitions, "host", "salt")
+    return frontier.repartition("host", "salt")

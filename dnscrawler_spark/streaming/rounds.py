@@ -59,22 +59,47 @@ class CrawlConfig:
     seen_bits: int = 1 << 20
     seen_buckets: int = 1 << 15
     collect_lineage: bool = True
+    # fetch stage: 'join' fetches from a materialized corpus table;
+    # 'synthetic' fetches each URL as an outbound call (mapInPandas
+    # regeneration — no corpus table, no join shuffle; the shape a real
+    # network fetch stage has)
+    fetch_mode: str = "join"
+    px_scale: int = 1
+    n_pages: int | None = None  # synthetic mode: URL-space size
+    n_hosts: int | None = None
 
 
 class CrawlEngine:
-    def __init__(self, spark: SparkSession, pages: DataFrame, root: str, cfg: CrawlConfig | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame | None,
+        root: str,
+        cfg: CrawlConfig | None = None,
+    ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
         self.store = SnapshotStore(root)
         self.root = root
         if self.cfg.partitions is None:
             self.cfg.partitions = spark.sparkContext.defaultParallelism
-        # key + cache the corpus once, pre-hashed on the join key: the
-        # cached InMemoryRelation keeps its HashPartitioning(url_key), so
-        # every round's fetch join shuffles only the (small) admitted side
-        self.pages_keyed = (
-            X.prepare_pages(pages).repartition(self.cfg.partitions, "url_key").persist()
-        )
+        if self.cfg.fetch_mode == "synthetic":
+            if self.cfg.n_pages is None:
+                raise ValueError("synthetic fetch needs cfg.n_pages")
+            if self.cfg.n_hosts is None:
+                from dnscrawler_spark.datagen import default_n_hosts
+
+                self.cfg.n_hosts = default_n_hosts(self.cfg.n_pages)
+            self.pages_keyed = None
+        else:
+            # key + cache the corpus once, pre-hashed on the join key: the
+            # cached InMemoryRelation keeps its HashPartitioning(url_key),
+            # so each round's fetch join shuffles only the admitted side
+            self.pages_keyed = (
+                X.prepare_pages(pages)
+                .repartition(self.cfg.partitions, "url_key")
+                .persist()
+            )
 
     # -- lifecycle ----------------------------------------------------------
     def start(self, seed_urls: list[str], host_state: DataFrame) -> Snapshot:
@@ -124,22 +149,43 @@ class CrawlEngine:
             glue = spark.createDataFrame([], X.GLUE_SCHEMA)
         seen = SeenFilter.from_manifest(snap.seen)
 
-        frontier = repartition_by_host(frontier, cfg.partitions)
+        frontier = repartition_by_host(frontier)
         admitted, leftover, blocked, host_state2 = pol.admit(frontier, host_state, r)
-        if cfg.collect_lineage:
-            admitted = admitted.persist()
+        # every politeness output has 2+ consumers — cache them or each
+        # consumer re-runs the frontier read + both ranking windows
+        admitted = admitted.persist()
+        leftover = leftover.persist()
         blocked = blocked.persist()
 
-        fetched, misses = X.fetch(admitted, self.pages_keyed)
-        if cfg.verify_payloads:
-            fetched = X.verify_payloads(fetched, cfg.gen_seed)
+        enriched = None
+        if cfg.fetch_mode == "synthetic":
+            # fetch + payload verification fused: bytes stay in the stage;
+            # the enriched frame is persisted ONCE so the hit/miss split
+            # reads the cache instead of re-running the fetch per branch.
+            # Explicit fan-out first: AQE sizes partitions by BYTES, and a
+            # frontier row is ~200 B while fetching it costs ~1 ms of
+            # Python — size-based coalescing would run the whole fetch on
+            # 1-2 cores. Fixed-width repartition is exempt from AQE
+            # coalescing, guaranteeing one fetch slice per task slot.
+            fan_out = admitted.repartition(cfg.partitions * 2)
+            enriched = X.fetch_synthetic(
+                fan_out, cfg.gen_seed, cfg.n_pages, cfg.n_hosts, cfg.px_scale,
+                verify=cfg.verify_payloads,
+            ).persist()
+            fetched = enriched.filter(F.col("is_hit")).drop("is_hit")
+            misses = enriched.filter(~F.col("is_hit")).select(*FRONTIER_COLS)
+            has_ok = True
+        else:
+            fetched, misses = X.fetch(admitted, self.pages_keyed)
+            if cfg.verify_payloads:
+                fetched = X.verify_payloads(fetched, cfg.gen_seed, cfg.px_scale)
+            has_ok = cfg.verify_payloads
         obs_fetched = Observation(f"fetched_r{r}")
         fetched = fetched.observe(
             obs_fetched,
             F.count(F.lit(1)).alias("n"),
             (
-                F.sum((~F.col("payload_ok")).cast("long")) if cfg.verify_payloads
-                else F.lit(0)
+                F.sum((~F.col("payload_ok")).cast("long")) if has_ok else F.lit(0)
             ).alias("bad"),
         ).persist()
         retries, terminal = X.classify_misses(misses)
@@ -254,10 +300,10 @@ class CrawlEngine:
         }
         store.commit(nxt)
 
-        for df in (blocked, fetched, retries, terminal, glue2, unseen):
+        for df in (admitted, leftover, blocked, fetched, retries, terminal, glue2, unseen):
             df.unpersist()
-        if cfg.collect_lineage:
-            admitted.unpersist()
+        if enriched is not None:
+            enriched.unpersist()
         seen2.release()
         return nxt
 

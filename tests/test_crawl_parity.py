@@ -97,6 +97,22 @@ def test_metrics_and_lineage_recorded(engine_run):
     assert m["n_admitted"] == sum(l["n_admitted"] for l in s1.lineage)
 
 
+def test_synthetic_fetch_parity(spark, tmp_path_factory, oracle_result):
+    """fetch_mode='synthetic' (per-URL regeneration, no corpus join) must
+    produce the identical crawl: same seen set, same trace, same facts."""
+    root = str(tmp_path_factory.mktemp("synth"))
+    cfg = CrawlConfig(
+        max_rounds=MAX_ROUNDS, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
+        partitions=4, fetch_mode="synthetic", n_pages=N,
+    )
+    hs = datagen.generate_host_state_synthetic(spark, datagen.default_n_hosts(N))
+    eng = CrawlEngine(spark, None, root, cfg)
+    snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
+    final = eng.run(snap)
+    assert {r["url"] for r in eng.seen_urls(final).collect()} == oracle_result.seen
+    assert eng.crawl_trace(final) == oracle_result.trace
+
+
 def test_resume_equals_uninterrupted(spark, tmp_path_factory, oracle_result):
     """Kill after round 2, resume with a fresh engine: final state must
     equal the uninterrupted run (SURVEY §5.2.5)."""
