@@ -290,6 +290,45 @@ def seed_urls(n_seeds: int, n_pages: int, seed: int = 42, n_hosts: int | None = 
     return out
 
 
+def seed_urls_df(
+    spark: SparkSession,
+    n_seeds: int,
+    n_pages: int,
+    seed: int = 42,
+    n_hosts: int | None = None,
+) -> DataFrame:
+    """Distributed twin of ``seed_urls``: same deterministic seed set,
+    built executor-side (a 10^10-scale seed list can never transit the
+    driver as a Python list). The sequential algorithm takes the first
+    ``n_seeds`` distinct targets in attempt order; here: generate 2x
+    attempts, keep min attempt per target, take the n_seeds smallest
+    attempts — the identical set, expressed as agg + top-k.
+    """
+    n_hosts = n_hosts or default_n_hosts(n_pages)
+    attempts = max(n_seeds * 2, 64)
+
+    def gen(batches):
+        for pdf in batches:
+            s = pdf["id"].to_numpy()
+            rows = []
+            for ss in s:
+                t = mix2(int(ss), seed ^ _S_SEED) % n_pages
+                rows.append((int(ss), page_identity(t, seed, n_hosts)[2]))
+            yield pd.DataFrame(rows, columns=["attempt", "url"])
+
+    schema = T.StructType(
+        [
+            T.StructField("attempt", T.LongType(), False),
+            T.StructField("url", T.StringType(), False),
+        ]
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, attempts).mapInPandas(gen, schema)
+    first = df.groupBy("url").agg(F.min("attempt").alias("attempt"))
+    return first.orderBy("attempt").limit(n_seeds).select("url")
+
+
 def splitmix_check() -> int:
     """Cross-check scalar vs vectorized splitmix (used by tests)."""
     return splitmix64(12345)

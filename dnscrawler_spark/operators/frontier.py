@@ -85,6 +85,21 @@ def seed_frontier(spark, seed_urls: list[str], n_salts: int = N_SALTS_DEFAULT) -
     return derive_frontier_cols(df, n_salts).dropDuplicates(["url_key"])
 
 
+def seed_frontier_from_df(urls: DataFrame, n_salts: int = N_SALTS_DEFAULT) -> DataFrame:
+    """Round-0 frontier from a DataFrame of raw urls (scale path: the
+    seed set stays distributed end to end)."""
+    df = (
+        urls.select("url")
+        .withColumn("priority", F.lit(PRIORITY_SEED))
+        .withColumn("depth", F.lit(0))
+        .withColumn("round", F.lit(0))
+        .withColumn("reason", F.lit("seed"))
+        .withColumn("seed", canon_url_col(F.col("url")))
+        .withColumn("attempts", F.lit(0))
+    )
+    return derive_frontier_cols(df, n_salts).dropDuplicates(["url_key"])
+
+
 def repartition_by_host(frontier: DataFrame, n_partitions: int | None = None) -> DataFrame:
     """Explicit hash partitioning by (host, salt) — the engine's analog
     of one-seed-per-process (/root/reference/run/run.py:56): politeness

@@ -68,6 +68,21 @@ INSERT_STATS_SCHEMA = T.StructType(
     ]
 )
 
+# merged insert+probe output: verdict rows (is_stat=false) + one stat row
+# per touched shard (is_stat=true) from a single applyInPandas pass
+MERGED_SCHEMA = T.StructType(
+    [
+        T.StructField("url_key", T.LongType(), True),
+        T.StructField("maybe_seen", T.BooleanType(), True),
+        T.StructField("needs_exact", T.BooleanType(), True),
+        T.StructField("is_stat", T.BooleanType(), False),
+        T.StructField("shard_id", T.IntegerType(), True),
+        T.StructField("n_items", T.LongType(), True),
+        T.StructField("degraded", T.BooleanType(), True),
+        T.StructField("path", T.StringType(), True),
+    ]
+)
+
 
 def _u64(keys: np.ndarray) -> np.ndarray:
     return keys.astype(np.int64).view(np.uint64)
@@ -358,6 +373,140 @@ class SeenFilter:
             shard_paths=new_paths,
             key_files=self.key_files + ([keys_path] if keys_path else []),
         )
+
+    # -- fused insert+probe -------------------------------------------------
+    def insert_and_probe(
+        self,
+        insert_keys: DataFrame,
+        probe_df: DataFrame,
+        round_no: int,
+        key_col: str = "url_key",
+    ) -> tuple["SeenFilter", DataFrame]:
+        """One applyInPandas pass per round instead of two: each shard
+        group inserts this round's keys (rewriting its npz + exact-key
+        parquet, as ``insert`` does) and THEN probes the candidate keys
+        against the updated shard — the exact sequential semantics of
+        insert-then-probe, at half the shuffle/action cost.
+
+        Returns ``(new_filter, unseen_df)`` where ``unseen_df`` contains
+        only the rows of ``probe_df`` whose key is definitively unseen
+        (bloom/cuckoo fast path + exact anti-join for suspects).
+        ``unseen_df`` is persisted; the single stats collect is the one
+        action that materializes the whole pass.
+        """
+        spark = probe_df.sparkSession
+        out_dir = os.path.join(self.state_dir, f"seen_r{round_no:06d}")
+        keys_dir = os.path.join(out_dir, "keys.parquet")
+        os.makedirs(keys_dir, exist_ok=True)
+        paths = dict(self.shard_paths)
+        n_bits, n_buckets, k = self.n_bits, self.n_buckets, self.k
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            sid = int(pdf["shard_id"].iloc[0])
+            ins = pdf.loc[pdf["role"] == 0, "url_key"].to_numpy(dtype=np.int64)
+            prb = pdf.loc[pdf["role"] == 1, "url_key"].to_numpy(dtype=np.int64)
+            prev = paths.get(sid)
+            shard = (
+                _Shard.load(prev)
+                if prev and os.path.exists(prev)
+                else _Shard(n_bits, n_buckets, k)
+            )
+            new_path = prev or ""
+            if ins.size:
+                ins = np.unique(ins)
+                shard.bloom_insert(ins)
+                shard.cuckoo_insert(ins)
+                new_path = os.path.join(out_dir, f"shard_{sid:05d}.npz")
+                shard.save(new_path)
+                kp = os.path.join(keys_dir, f"part-{sid:05d}.parquet")
+                tmp = f"{kp}.tmp-{uuid.uuid4().hex[:8]}"
+                pd.DataFrame({"url_key": ins}).to_parquet(tmp, index=False)
+                os.replace(tmp, kp)
+            frames = [
+                pd.DataFrame(
+                    {
+                        "url_key": [None],
+                        "maybe_seen": [None],
+                        "needs_exact": [None],
+                        "is_stat": [True],
+                        "shard_id": [sid],
+                        "n_items": [shard.n_items],
+                        "degraded": [shard.degraded],
+                        "path": [new_path],
+                    }
+                )
+            ]
+            if prb.size:
+                maybe = shard.bloom_probe(prb)
+                cuckoo = np.zeros(len(prb), dtype=bool)
+                if maybe.any():
+                    cuckoo[maybe] = shard.cuckoo_probe(prb[maybe])
+                needs_exact = cuckoo | (maybe & shard.degraded)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "url_key": prb,
+                            "maybe_seen": maybe,
+                            "needs_exact": needs_exact,
+                            "is_stat": False,
+                            "shard_id": sid,
+                            "n_items": None,
+                            "degraded": None,
+                            "path": None,
+                        }
+                    )
+                )
+            return pd.concat(frames, ignore_index=True)
+
+        tagged = (
+            insert_keys.select(F.col(key_col).alias("url_key"))
+            .withColumn("role", F.lit(0))
+            .unionByName(
+                probe_df.select(F.col(key_col).alias("url_key")).withColumn(
+                    "role", F.lit(1)
+                )
+            )
+        )
+        merged = (
+            self._with_shard_col(tagged, "url_key")
+            .groupBy("shard_id")
+            .applyInPandas(run, MERGED_SCHEMA)
+            .persist()
+        )
+        self._persisted.append(merged)
+        stats = merged.filter(F.col("is_stat")).collect()  # the ONE action
+
+        new_paths = dict(self.shard_paths)
+        touched = False
+        for row in stats:
+            if row["path"]:
+                new_paths[int(row["shard_id"])] = row["path"]
+                if row["path"].startswith(out_dir):
+                    touched = True
+        new_filter = SeenFilter(
+            state_dir=self.state_dir,
+            n_shards=self.n_shards,
+            n_bits=self.n_bits,
+            n_buckets=self.n_buckets,
+            k=self.k,
+            shard_paths=new_paths,
+            key_files=self.key_files + ([keys_dir] if touched else []),
+        )
+        new_filter._persisted = self._persisted  # release() covers both
+
+        verdicts = merged.filter(~F.col("is_stat"))
+        clear = verdicts.filter(~F.col("needs_exact")).select("url_key")
+        suspects = verdicts.filter(F.col("needs_exact")).select("url_key")
+        # exact confirm MUST include this round's inserts: the probe ran
+        # against the post-insert shard, so a same-round key is a real
+        # duplicate, not a fingerprint collision
+        if new_filter.key_files:
+            seen_keys = spark.read.parquet(*new_filter.key_files).select("url_key")
+            confirmed_new = suspects.join(seen_keys, "url_key", "left_anti")
+        else:
+            confirmed_new = suspects
+        unseen_keys = clear.union(confirmed_new).withColumnRenamed("url_key", key_col)
+        return new_filter, probe_df.join(unseen_keys, key_col, "left_semi")
 
     def release(self) -> None:
         """Unpersist any probe verdicts cached by filter_unseen."""

@@ -35,6 +35,7 @@ from dnscrawler_spark.operators.frontier import (
     N_SALTS_DEFAULT,
     repartition_by_host,
     seed_frontier,
+    seed_frontier_from_df,
 )
 from dnscrawler_spark.operators.seen import SeenFilter
 from dnscrawler_spark.sources.snapshots import Snapshot, SnapshotStore
@@ -102,12 +103,24 @@ class CrawlEngine:
             )
 
     # -- lifecycle ----------------------------------------------------------
-    def start(self, seed_urls: list[str], host_state: DataFrame) -> Snapshot:
+    def start(self, seed_urls: list[str] | DataFrame, host_state: DataFrame) -> Snapshot:
         """Round-0 snapshot: seeded frontier + initial host_state +
-        empty seen/glue/facts."""
-        fr = seed_frontier(self.spark, seed_urls, self.cfg.n_salts)
+        empty seen/glue/facts. ``seed_urls`` may be a list (small runs,
+        the reference's seed-file shape) or a DataFrame with a ``url``
+        column (scale path — a 10^10-row seed set never sees the
+        driver)."""
+        obs = None
+        if isinstance(seed_urls, DataFrame):
+            fr = seed_frontier_from_df(seed_urls, self.cfg.n_salts)
+            obs = Observation("seed_n")
+            fr = fr.observe(obs, F.count(F.lit(1)).alias("n"))
+        else:
+            fr = seed_frontier(self.spark, seed_urls, self.cfg.n_salts)
+            n_seeds = len(seed_urls)
         snap = Snapshot(snapshot_id="snap-000000", parent_id=None, round=0)
         snap.tables["frontier"] = self.store.write_table(fr, 0, "frontier")
+        if obs is not None:
+            n_seeds = int(obs.get["n"])
         snap.tables["host_state"] = self.store.write_table(host_state, 0, "host_state")
         seen = SeenFilter(
             state_dir=os.path.join(self.root, "seen_state"),
@@ -116,7 +129,7 @@ class CrawlEngine:
             n_buckets=self.cfg.seen_buckets,
         )
         snap.seen = seen.to_manifest()
-        snap.metrics = {"n_frontier": len(seed_urls), "done": False}
+        snap.metrics = {"n_frontier": n_seeds, "done": False}
         self.store.commit(snap)
         return snap
 
@@ -202,11 +215,12 @@ class CrawlEngine:
             .union(terminal.select("url_key"))
             .union(blocked.select("url_key"))
         )
-        # one applyInPandas job: rewrites touched shards + exact-key tier;
-        # also the action that materializes the fetched/blocked caches
-        seen2 = seen.insert(seen_keys, r)
-
-        unseen = seen2.filter_unseen(candidates).persist()
+        # ONE fused applyInPandas pass: per shard, insert this round's
+        # keys (npz + exact-key tier rewrite) then probe the expansion
+        # candidates against the updated shard. Its stats collect is also
+        # the action that materializes the fetched/blocked caches.
+        seen2, unseen = seen.insert_and_probe(seen_keys, candidates, r)
+        unseen = unseen.persist()
         inflight = leftover.select("url_key").union(retries.select("url_key"))
         nonhaz = unseen.join(inflight, "url_key", "left_semi")
         new_rows = unseen.join(inflight, "url_key", "left_anti")
@@ -250,14 +264,22 @@ class CrawlEngine:
         # phase A: writes independent of the dedup verdict; phase B shares
         # the (now materialized) unseen cache — two parallel job waves,
         # no duplicate computation of the persisted intermediates
-        phase_a = {"host_state": host_state2, "glue": glue2, "fetched": fetched_slim}
+        # dimension-sized tables get few output files (a 31k-row table
+        # scattered over 64 shuffle partitions costs 64 task launches +
+        # 64 file commits per round, and 64 footer reads next round)
+        n_small = max(1, cfg.partitions // 8)
+        phase_a = {
+            "host_state": host_state2.coalesce(n_small),
+            "glue": glue2.coalesce(n_small),
+            "fetched": fetched_slim,
+        }
         phase_b = {"frontier": frontier2, "facts": facts}
         with ThreadPoolExecutor(max_workers=3) as ex:
             futs = {
                 name: ex.submit(store.write_table, df, r + 1, name)
                 for name, df in phase_a.items()
             }
-            unseen.count()  # warm the verdict + unseen caches once
+            unseen.count()  # warm the unseen cache before phase B shares it
             for name, fut in futs.items():
                 nxt.tables[name] = fut.result()
             futs = {
