@@ -329,6 +329,81 @@ def q_text_fingerprints(spark, sf):
     return TX.fingerprints(_t(spark, sf, "documents"), g=8)
 
 
+def q_dedup_embedding_cosine(spark, sf):
+    # embedding-cosine near-dup (exact baseline; LSH variant is the
+    # scale path, recall-tested in tests/)
+    e = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return D.embedding_near_dup(e.filter(F.col("vec_id") < 300), threshold=0.3)
+
+
+def q_streaming_windowed_counts(spark, sf):
+    # Structured Streaming: file source -> watermark -> tumbling window
+    # agg -> availableNow; result equals the batch windowed agg, so it
+    # oracle-checks against plain SQL
+    from dnscrawler_spark.streaming.windows import windowed_event_counts
+
+    return windowed_event_counts(spark, f"{sf}/events.parquet")
+
+
+def q_mm_decode_features(spark, sf):
+    # multimodal decode/feature plumbing over a deterministic binary
+    # corpus (generated — the driver tables carry no binary column);
+    # rows-only check, invariants property-tested in tests/
+    from dnscrawler_spark import datagen
+    from dnscrawler_spark.operators import multimodal as MM
+
+    pages = datagen.generate_pages(spark, 512, seed=7, partitions=4)
+    feats = MM.decode_features(pages)
+    return (
+        feats.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("decode_ok").cast("long")).alias("n_ok"),
+            F.round(F.avg("mean_luma"), 3).alias("avg_luma"),
+        )
+        .orderBy("fmt")
+    )
+
+
+def q_mm_frame_sample(spark, sf):
+    from dnscrawler_spark import datagen
+    from dnscrawler_spark.operators import multimodal as MM
+
+    pages = datagen.generate_pages(spark, 256, seed=7, partitions=4)
+    frames = MM.frame_sample(pages, every=4)
+    return frames.groupBy("image_id").agg(
+        F.count("*").alias("n_frames"), F.round(F.avg("row_luma"), 3).alias("avg_luma")
+    )
+
+
+def q_crawl_results(spark, sf):
+    # the flagship end-to-end: a full crawl on the fixture corpus, one
+    # row per seed with sorted fact arrays (domain_dict analog,
+    # dnsresolver_new.py:280-298). Rows-only here; exact oracle parity
+    # is asserted in tests/test_crawl_parity.py.
+    import tempfile
+
+    from dnscrawler_spark import datagen
+    from dnscrawler_spark.streaming.rounds import CrawlConfig, CrawlEngine
+
+    n = 240
+    cfg = CrawlConfig(
+        max_rounds=8, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
+        partitions=4, fetch_mode="synthetic", n_pages=n, collect_lineage=False,
+    )
+    hs = datagen.generate_host_state_synthetic(spark, datagen.default_n_hosts(n))
+    eng = CrawlEngine(spark, None, tempfile.mkdtemp(prefix="q_crawl_"), cfg)
+    snap = eng.start(datagen.seed_urls(5, n, seed=42), hs)
+    final = eng.run(snap)
+    res = eng.results(final)
+    arr_cols = [c for c in res.columns if c != "seed"]
+    return res.select(
+        "seed", *[F.array_join(F.col(c), "|").alias(c) for c in arr_cols]
+    ).orderBy("seed")
+
+
 def q_sim_cosine_topk(spark, sf):
     e = _t(spark, sf, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -378,6 +453,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q_text_fingerprints,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "streaming_windowed_counts": q_streaming_windowed_counts,
+        "mm_decode_features": q_mm_decode_features,
+        "mm_frame_sample": q_mm_frame_sample,
+        "crawl_results": q_crawl_results,
     }
 
 
@@ -611,6 +691,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.doc_id, coalesce(m.fp, md5(w.norm)) AS fingerprint
             FROM words w LEFT JOIN
                  (SELECT doc_id, min(h) AS fp FROM sh GROUP BY doc_id) m USING(doc_id)
+        """,
+        "dedup_embedding_cosine": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < 300)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                         6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v) /
+                        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                        6) >= 0.3
+        """,
+        "streaming_windowed_counts": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY window_start, event_type
         """,
         "sim_cosine_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

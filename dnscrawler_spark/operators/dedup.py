@@ -204,6 +204,48 @@ def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    ``n_planes=0``: exact all-pairs cosine via self-join — the
+    correctness baseline (oracle-able in SQL; quadratic, small inputs).
+    ``n_planes>0``: LSH-bucketed scale path — candidate pairs must share
+    a hyperplane-sign sketch (similarity.hyperplane_sketch), then exact
+    cosine re-rank; sub-quadratic, recall property-tested against the
+    exact baseline. All arithmetic is Catalyst higher-order functions
+    (zip_with/aggregate) — JVM-side, no Python."""
+    from dnscrawler_spark.operators.similarity import cosine_col, hyperplane_sketch
+
+    e = embeddings.select(id_col, vec_col)
+    if n_planes > 0:
+        e = e.withColumn("sketch", hyperplane_sketch(F.col(vec_col), n_planes))
+    a = e.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        *([F.col("sketch").alias("ska")] if n_planes > 0 else []),
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        *([F.col("sketch").alias("skb")] if n_planes > 0 else []),
+    )
+    if n_planes > 0:
+        pairs = a.join(b, F.col("ska") == F.col("skb")).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on 16-bit
     chunks (a pair within hamming ≤ 3·16 shares at least one exact

@@ -1,0 +1,99 @@
+"""Physical-plan regression gates (SURVEY §4.2): pushdown, pruning,
+broadcast, codegen — the properties that decide whether a plan survives
+a 100x scale-up, asserted on the engine's own operators."""
+
+from pyspark.sql import functions as F
+
+from dnscrawler_spark.plans import (
+    count_exchanges,
+    has_broadcast_join,
+    has_pushed_filters,
+    scan_read_schema,
+    whole_stage_codegen_spans,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .select("l_returnflag", "l_quantity")
+    )
+    assert has_pushed_filters(df, "l_shipdate")
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+    )
+    schemas = scan_read_schema(df)
+    assert schemas and all(set(s) == {"l_orderkey", "l_quantity"} for s in schemas)
+
+
+def test_small_dim_join_broadcasts(spark):
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    region = spark.read.parquet(f"{SF}/region.parquet")
+    j = nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    assert has_broadcast_join(j)
+    assert count_exchanges(j) == 0  # big side untouched
+
+
+def test_politeness_single_shuffle_for_phase1(spark):
+    """The frontier arrives hash-partitioned by (host, salt); the
+    phase-1 ranking window must NOT add a second exchange on top of the
+    explicit repartition (partitioning reuse)."""
+    from pyspark.sql import Window
+
+    from dnscrawler_spark.operators.frontier import derive_frontier_cols, repartition_by_host
+
+    raw = spark.createDataFrame(
+        [(f"http://h{i}.com/x{i}", 0, 0, 0, "seed", f"http://h{i}.com/x{i}", 0) for i in range(50)],
+        ["url", "priority", "depth", "round", "reason", "seed", "attempts"],
+    )
+    fr = repartition_by_host(derive_frontier_cols(raw, 8), 4)
+    w = Window.partitionBy("host", "salt").orderBy("priority", "depth", "url")
+    ranked = fr.withColumn("rn", F.row_number().over(w))
+    # exactly the explicit repartition; the window reuses it
+    assert count_exchanges(ranked) == 1
+
+
+def test_expand_dedup_is_hash_agg_not_sort(spark):
+    """Candidate dedup must partial-aggregate (map-side combine), not
+    window-sort: assert HashAggregate present, no Window/Sort over the
+    full edge stream."""
+    from dnscrawler_spark import datagen
+    from dnscrawler_spark.operators import expand as X
+
+    pages = datagen.generate_pages(spark, 64, seed=42, partitions=2)
+    pages_keyed = X.prepare_pages(pages)
+    fetched = pages_keyed.withColumn("seed", F.col("url")).withColumn(
+        "depth", F.lit(0)
+    )
+    cand = X.expand_candidates(fetched, spark.createDataFrame([], X.GLUE_SCHEMA), 4, 1, True)
+    from dnscrawler_spark.plans import explain_str
+
+    plan = explain_str(cand, "simple")
+    # two-phase aggregation with map-side combine (partial_min), never a
+    # per-key global sort window over the full edge stream
+    assert "partial_min" in plan
+    assert "Window" not in plan
+
+
+def test_engine_expressions_stay_in_codegen(spark):
+    """The fact-explosion pipeline (filters + string funcs + explode)
+    must be whole-stage-codegen'd — no Python in the hot path."""
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 10)
+        .select(
+            F.lower("l_returnflag").alias("f"),
+            F.split(F.col("l_shipdate").cast("string"), "-").alias("ws"),
+        )
+        .select("f", F.explode("ws").alias("w"))
+        .groupBy("f", "w")
+        .count()
+    )
+    assert whole_stage_codegen_spans(df) >= 1

@@ -1,0 +1,96 @@
+"""Training-data operator properties: embedding near-dup (exact vs LSH
+recall), streaming windowed agg vs batch, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .filter(F.col("vec_id") < 150)
+        .persist()
+    )
+
+
+def test_embedding_near_dup_exact_symmetric(emb):
+    from dnscrawler_spark.operators.dedup import embedding_near_dup
+
+    pairs = embedding_near_dup(emb, threshold=0.3).collect()
+    assert all(p["id_a"] < p["id_b"] for p in pairs)
+    assert all(p["cosine"] >= 0.3 for p in pairs)
+    assert len(pairs) > 0
+
+
+def test_embedding_near_dup_lsh_is_subset_with_recall(emb):
+    """LSH-bucketed path returns a subset of the exact pairs (no false
+    positives after re-rank) with nontrivial recall."""
+    from dnscrawler_spark.operators.dedup import embedding_near_dup
+
+    exact = {(p["id_a"], p["id_b"]) for p in embedding_near_dup(emb, 0.3).collect()}
+    lsh = {
+        (p["id_a"], p["id_b"])
+        for p in embedding_near_dup(emb, 0.3, n_planes=2).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) > 0.2  # 2-plane buckets, same-sign pairs only
+
+
+def test_streaming_windowed_counts_equals_batch(spark):
+    from dnscrawler_spark.streaming.windows import windowed_event_counts
+
+    got = windowed_event_counts(spark, f"{SF}/events.parquet")
+    want = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) > 0
+
+
+def test_multimodal_resize_roundtrip(spark):
+    from dnscrawler_spark import codecs, datagen
+    from dnscrawler_spark.operators import multimodal as MM
+
+    pages = datagen.generate_pages(spark, 32, seed=7, partitions=2)
+    small = MM.resize(pages, 8, 8).collect()
+    assert len(small) == 32
+    for r in small:
+        arr, fmt = codecs.decode(bytes(r["bytes"]))
+        assert arr.shape == (8, 8, 3)
+        assert fmt == r["fmt"]
+
+
+def test_multimodal_external_fmt_stubbed(spark):
+    """External codecs are stubbed: rows survive with decode_ok=false,
+    never a task failure."""
+    import pandas as pd
+
+    from dnscrawler_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": ["x"], "bytes": [b"\xff\xd8junk"], "fmt": ["jpeg"]}
+        )
+    )
+    rows = MM.decode_features(df).collect()
+    assert len(rows) == 1 and rows[0]["decode_ok"] is False
+
+
+def test_multimodal_frame_sample_shape(spark):
+    from dnscrawler_spark import datagen
+    from dnscrawler_spark.operators import multimodal as MM
+
+    pages = datagen.generate_pages(spark, 16, seed=7, partitions=2)
+    frames = MM.frame_sample(pages, every=4)
+    per = {r["image_id"]: r["n"] for r in frames.groupBy("image_id").agg(F.count("*").alias("n")).collect()}
+    heights = {r["image_id"]: r["h"] for r in pages.select("image_id", "h").collect()}
+    assert per and all(per[i] == (heights[i] + 3) // 4 for i in per)
