@@ -54,13 +54,23 @@ def test_all_queries_have_oracle_or_are_flagged():
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(osql) <= set(qs)
     rows_only = set(qs) - set(osql)
-    # only hash-native ops may skip the SQL oracle
-    assert rows_only == {"f12_xxhash_keys", "dedup_simhash_pairs", "sim_lsh_topk"}
+    # only hash-native ops, binary-column plumbing, and the iterative
+    # crawl itself (oracle'd by tests/test_crawl_parity.py instead) may
+    # skip the SQL oracle
+    assert rows_only == {
+        "f12_xxhash_keys",
+        "dedup_simhash_pairs",
+        "sim_lsh_topk",
+        "mm_decode_features",
+        "mm_frame_sample",
+        "crawl_results",
+    }
 
 
 def test_rows_only_queries_run(spark):
     qs = entry_mod.queries()
-    for name in ("f12_xxhash_keys", "dedup_simhash_pairs", "sim_lsh_topk"):
+    for name in ("f12_xxhash_keys", "dedup_simhash_pairs", "sim_lsh_topk",
+                 "mm_decode_features", "mm_frame_sample"):
         df = qs[name](spark, SF)
         assert df.count() >= 0
 
