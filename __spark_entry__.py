@@ -395,8 +395,17 @@ def q_crawl_results(spark, sf):
     )
     hs = datagen.generate_host_state_synthetic(spark, datagen.default_n_hosts(n))
     eng = CrawlEngine(spark, None, tempfile.mkdtemp(prefix="q_crawl_"), cfg)
-    snap = eng.start(datagen.seed_urls(5, n, seed=42), hs)
-    final = eng.run(snap)
+    # tiny fixture crawl: narrow shuffles + no AQE barriers (restored)
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        snap = eng.start(datagen.seed_urls(5, n, seed=42), hs)
+        final = eng.run(snap)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", shuf)
     res = eng.results(final)
     arr_cols = [c for c in res.columns if c != "seed"]
     return res.select(
