@@ -177,6 +177,17 @@ def q_f12_xxhash_keys(spark, sf):
     return d.select("doc_id", F.xxhash64("text").alias("url_key"))
 
 
+def q_p1_isin_filter(spark, sf):
+    # record-type filter P1 (pydns.py:62): keep rows whose type is in
+    # the requested set
+    ev = _t(spark, sf, "events")
+    return (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_p3_conditional_split(spark, sf):
     # address-type split P3 (dnsresolver_new.py:70-82): when/otherwise
     # routing + per-class aggregation
@@ -347,6 +358,14 @@ def q_streaming_windowed_counts(spark, sf):
     return windowed_event_counts(spark, f"{sf}/events.parquet")
 
 
+def q_streaming_stateful_stats(spark, sf):
+    # custom stateful streaming op (applyInPandasWithState): per-key
+    # running tracker; final state equals the batch groupBy
+    from dnscrawler_spark.streaming.stateful import running_user_stats
+
+    return running_user_stats(spark, f"{sf}/events.parquet")
+
+
 def q_mm_decode_features(spark, sf):
     # multimodal decode/feature plumbing over a deterministic binary
     # corpus (generated — the driver tables carry no binary column);
@@ -445,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_value_filter": q_p6_value_filter,
         "f3_label_split": q_f3_label_split,
         "f12_xxhash_keys": q_f12_xxhash_keys,
+        "p1_isin_filter": q_p1_isin_filter,
         "p3_conditional_split": q_p3_conditional_split,
         "p10_cross_key_filter": q_p10_cross_key_filter,
         "j4_union_by_key": q_j4_union_by_key,
@@ -464,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": q_sim_lsh_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "streaming_windowed_counts": q_streaming_windowed_counts,
+        "streaming_stateful_stats": q_streaming_stateful_stats,
         "mm_decode_features": q_mm_decode_features,
         "mm_frame_sample": q_mm_frame_sample,
         "crawl_results": q_crawl_results,
@@ -557,6 +578,10 @@ def oracle_sql() -> dict[str, str]:
         "f3_label_split": """
             SELECT split_part(p_type, ' ', 1) AS first_word, count(*) AS n
             FROM part GROUP BY first_word
+        """,
+        "p1_isin_filter": """
+            SELECT event_type, count(*) AS n FROM events
+            WHERE event_type IN ('click', 'view') GROUP BY event_type
         """,
         "p3_conditional_split": """
             SELECT event_type,
@@ -717,6 +742,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n, round(sum(value), 6) AS sum_value
             FROM events GROUP BY window_start, event_type
+        """,
+        "streaming_stateful_stats": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY user_id
         """,
         "sim_cosine_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

