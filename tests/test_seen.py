@@ -81,3 +81,27 @@ def test_probe_empty_filter_says_unseen(spark, small_filter):
     df = spark.range(5).select(F.col("id").alias("url_key"))
     v = small_filter.probe(df).collect()
     assert all((not r["maybe_seen"]) and (not r["needs_exact"]) for r in v)
+
+
+def test_fused_insert_and_probe_same_round_dup(spark, tmp_path):
+    """The fused pass must treat a key inserted THIS round as seen when
+    it also appears as a probe candidate (the same-round duplicate: a
+    page fetched in round r that is also discovered as an edge in round
+    r) — and must still pass brand-new keys through."""
+    f = SeenFilter(state_dir=str(tmp_path / "s"), n_shards=4,
+                   n_bits=1 << 14, n_buckets=1 << 8)
+    ins = spark.createDataFrame([(k,) for k in range(100)], ["url_key"])
+    probe = spark.createDataFrame(
+        [(k,) for k in range(50, 150)], ["url_key"]
+    ).withColumn("tag", F.lit("x"))
+    f2, unseen = f.insert_and_probe(ins, probe, round_no=0)
+    got = sorted(r["url_key"] for r in unseen.collect())
+    assert got == list(range(100, 150))
+    # next round: everything inserted so far is seen via the new filter
+    probe2 = spark.createDataFrame([(k,) for k in range(150)], ["url_key"])
+    f3, unseen2 = f2.insert_and_probe(
+        spark.createDataFrame([(999999,)], ["url_key"]), probe2, round_no=1
+    )
+    got2 = sorted(r["url_key"] for r in unseen2.collect())
+    assert got2 == list(range(100, 150))
+    f3.release()
