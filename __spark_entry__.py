@@ -397,14 +397,20 @@ def q_mm_frame_sample(spark, sf):
     )
 
 
-def q_crawl_results(spark, sf):
-    # the flagship end-to-end: a full crawl on the fixture corpus, one
-    # row per seed with sorted fact arrays (domain_dict analog,
-    # dnsresolver_new.py:280-298). Rows-only here; exact oracle parity
-    # is asserted in tests/test_crawl_parity.py.
+_FIXTURE_CRAWL_CACHE: dict[int, tuple] = {}
+_ORACLE_DUMP_DIR = "/tmp/dnscrawler_spark_probe"
+
+
+def _fixture_crawl(spark):
+    """One fixture crawl shared by every crawl_* probe (engine run +
+    pure-Python oracle run), cached per SparkSession."""
+    key = id(spark)
+    if key in _FIXTURE_CRAWL_CACHE:
+        return _FIXTURE_CRAWL_CACHE[key]
     import tempfile
 
     from dnscrawler_spark import datagen
+    from dnscrawler_spark.oracle import crawler as oracle_crawler
     from dnscrawler_spark.streaming.rounds import CrawlConfig, CrawlEngine
 
     n = 240
@@ -425,11 +431,64 @@ def q_crawl_results(spark, sf):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
         spark.conf.set("spark.sql.shuffle.partitions", shuf)
-    res = eng.results(final)
+    # independent implementation: the sequential pure-Python oracle
+    # crawler on the same corpus/seeds (no Spark, no shared operators)
+    n_hosts = datagen.default_n_hosts(n)
+    corpus = [datagen.page_row(i, 42, n, n_hosts) for i in range(n)]
+    ores = oracle_crawler.crawl(corpus, datagen.seed_urls(5, n, seed=42), max_rounds=8)
+    _FIXTURE_CRAWL_CACHE[key] = (eng, final, ores)
+    return _FIXTURE_CRAWL_CACHE[key]
+
+
+def q_crawl_results(spark, sf):
+    # the flagship end-to-end: a full crawl on the fixture corpus, one
+    # row per seed with sorted fact arrays (domain_dict analog,
+    # dnsresolver_new.py:280-298). Rows-only here; exact oracle parity
+    # is asserted in tests/test_crawl_parity.py.
+    eng, final, _ = _fixture_crawl(spark)
+    res = eng.results(final).drop("misconfigured")  # map covered by
+    # crawl_failure_detail (hash-checked); arrays joined for stable hashing
     arr_cols = [c for c in res.columns if c != "seed"]
     return res.select(
         "seed", *[F.array_join(F.col(c), "|").alias(c) for c in arr_cols]
     ).orderBy("seed")
+
+
+def q_crawl_failure_detail(spark, sf):
+    """A3 full shape (QuerySummaryList analog): flattened failure-detail
+    rows from the ENGINE crawl. The DuckDB twin reads the rows the
+    independent pure-Python oracle crawler produced for the same corpus
+    + seeds (dumped to parquet here) — so the driver's hash compare IS
+    the engine-vs-oracle parity check for who/when/how-many-attempts."""
+    import os
+
+    import pandas as pd
+
+    eng, final, ores = _fixture_crawl(spark)
+    # dump the oracle's raw failure records for the DuckDB side
+    os.makedirs(_ORACLE_DUMP_DIR, exist_ok=True)
+    rows = [
+        (seed, cls, url, rnd, att)
+        for seed, classes in ores.failure_detail.items()
+        for cls, items in classes.items()
+        for (url, rnd, att) in items
+    ]
+    pd.DataFrame(
+        rows, columns=["seed", "fail_class", "url", "round", "attempts"]
+    ).astype({"round": "int64", "attempts": "int64"}).to_parquet(
+        os.path.join(_ORACLE_DUMP_DIR, "failure_detail_oracle.parquet"), index=False
+    )
+    det = eng.failure_detail(final)
+    flat = det.select(
+        "seed", F.explode("misconfigured").alias("fail_class", "items")
+    ).select("seed", "fail_class", F.explode("items").alias("it"))
+    return flat.select(
+        "seed",
+        "fail_class",
+        F.col("it.url").alias("url"),
+        F.col("it.round").cast("long").alias("round"),
+        F.col("it.attempts").cast("long").alias("attempts"),
+    )
 
 
 def q_sim_cosine_topk(spark, sf):
@@ -488,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_features": q_mm_decode_features,
         "mm_frame_sample": q_mm_frame_sample,
         "crawl_results": q_crawl_results,
+        "crawl_failure_detail": q_crawl_failure_detail,
     }
 
 
@@ -747,6 +807,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY user_id
+        """,
+        "crawl_failure_detail": """
+            SELECT seed, fail_class, url, round, attempts
+            FROM read_parquet('/tmp/dnscrawler_spark_probe/failure_detail_oracle.parquet')
         """,
         "sim_cosine_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -70,8 +70,10 @@ def run_crawl(spark) -> dict:
 
     Throughput denominator is end-to-end wall time including snapshot
     commits; numerator is URLs processed through the fetch+dedupe path
-    (fetched + terminal-failed + robots-blocked + dedupe-dropped
-    candidates), i.e. every URL the engine made a keep/drop decision on.
+    (fetched + terminal-failed + robots-blocked). ``urls_seen`` is
+    MEASURED from the final seen-state key files (parquet footer row
+    counts, SeenFilter.exact_key_count) and cross-checked against that
+    derived sum — the two must agree exactly.
     """
     from dnscrawler_spark import datagen
     from dnscrawler_spark.streaming.rounds import CrawlConfig, CrawlEngine
@@ -121,11 +123,17 @@ def run_crawl(spark) -> dict:
             # candidates that were seen-filtered or merged away
             rounds += 1
         wall = time.monotonic() - t0
-        # seen-set size == processed urls by construction (each fetched/
-        # terminal/blocked url is inserted exactly once; dedup happens
-        # before admission) — metrics sums avoid an extra all-rounds scan
         urls = fetched + terminal + blocked
-        n_seen = urls
+        # measured seen-set size (tier-3 key-file footers) — must equal
+        # the metrics-derived sum; a mismatch means the headline metric
+        # is lying about dedup coverage
+        from dnscrawler_spark.operators.seen import SeenFilter
+
+        n_seen = SeenFilter.from_manifest(snap.seen).exact_key_count()
+        if n_seen != urls:
+            raise AssertionError(
+                f"urls_seen cross-check failed: measured {n_seen} != derived {urls}"
+            )
         if eng.pages_keyed is not None:
             eng.pages_keyed.unpersist()
         return {

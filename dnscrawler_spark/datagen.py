@@ -300,11 +300,16 @@ def seed_urls_df(
     """Distributed twin of ``seed_urls``: same deterministic seed set,
     built executor-side (a 10^10-scale seed list can never transit the
     driver as a Python list). The sequential algorithm takes the first
-    ``n_seeds`` distinct targets in attempt order; here: generate 2x
-    attempts, keep min attempt per target, take the n_seeds smallest
-    attempts — the identical set, expressed as agg + top-k.
+    ``min(n_seeds, n_pages)`` distinct targets in attempt order; here:
+    generate attempts, keep min attempt per target, take the smallest
+    attempts — the identical set, expressed as agg + top-k. The attempt
+    window starts at 2× and doubles until it covers enough distinct
+    targets (ADVICE r1: a fixed 2× window silently underfilled when
+    n_seeds approached n_pages), so the result ALWAYS has exactly
+    ``min(n_seeds, n_pages)`` rows.
     """
     n_hosts = n_hosts or default_n_hosts(n_pages)
+    target = min(n_seeds, n_pages)
     attempts = max(n_seeds * 2, 64)
 
     def gen(batches):
@@ -324,9 +329,12 @@ def seed_urls_df(
     )
     from pyspark.sql import functions as F
 
-    df = spark.range(0, attempts).mapInPandas(gen, schema)
-    first = df.groupBy("url").agg(F.min("attempt").alias("attempt"))
-    return first.orderBy("attempt").limit(n_seeds).select("url")
+    while True:
+        df = spark.range(0, attempts).mapInPandas(gen, schema)
+        first = df.groupBy("url").agg(F.min("attempt").alias("attempt"))
+        if first.count() >= target:
+            return first.orderBy("attempt").limit(target).select("url")
+        attempts *= 2
 
 
 def splitmix_check() -> int:

@@ -171,33 +171,36 @@ def lsh_candidate_pairs(
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc: per-token xxhash64, sign-vote per bit.
 
-    Pure Catalyst: explode tokens → per-bit vote via bitwise ops →
-    groupBy sum → reassemble bits. (No md5 twin in SQL → verified by
-    property tests instead of the DuckDB oracle.)"""
+    Pure Catalyst, ONE shuffle: the 64 bit-votes are 64 conditional
+    aggregates over the un-exploded token stream (map-side combined),
+    not a 64×-row explode. At 100 TB the shuffle width is the token
+    stream at 1×, and the 64 sums piggyback on the same hash-agg.
+    (No md5 twin in SQL → verified by property tests instead of the
+    DuckDB oracle.)"""
     words = F.split(normalize_text(F.col(text_col)), " ")
     tok = docs.select("doc_id", F.explode(words).alias("w"))
     tok = tok.withColumn("h", F.xxhash64("w"))
-    # fixed 64-way unroll (shiftright needs a literal shift amount)
-    bit_structs = [
-        F.struct(
-            F.lit(i).alias("bit"),
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-            .otherwise(F.lit(-1))
-            .alias("vote"),
-        )
-        for i in range(64)
-    ]
-    bits = tok.select("doc_id", F.explode(F.array(*bit_structs)).alias("bv"))
-    votes = bits.groupBy("doc_id", F.col("bv.bit").alias("bit")).agg(
-        F.sum("bv.vote").alias("v")
+    # fixed 64-way unroll (shiftright needs a literal shift amount):
+    # one groupBy, 64 sum(when(bit set, +1, -1)) columns
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    # reassemble: bit i set iff vote > 0 (bit 63's shiftleft wraps to the
+    # sign bit — same two's-complement value the exploded variant summed)
+    acc = None
+    for i in range(64):
+        term = F.when(
+            F.col(f"v{i}") > 0, F.expr(f"shiftleft(CAST(1 AS BIGINT), {i})")
+        ).otherwise(F.lit(0).cast("long"))
+        acc = term if acc is None else acc + term
+    return votes.select("doc_id", acc.alias("simhash"))
 
 
 def hamming64(a, b):

@@ -26,7 +26,7 @@ from pyspark.sql import types as T
 
 from dnscrawler_spark import codecs, datagen
 from dnscrawler_spark.functions.canon import canon_url_col, host_col, url_key_col
-from dnscrawler_spark.functions.suffix import is_ps_host_col, sld_col, tld_col
+from dnscrawler_spark.functions.suffix import is_ps_host_col, suffix_struct_col
 from dnscrawler_spark.operators.frontier import (
     FRONTIER_COLS,
     PRIORITY_CARRY,
@@ -42,6 +42,9 @@ FACTS_SCHEMA = T.StructType(
         T.StructField("seed", T.StringType(), False),
         T.StructField("kind", T.StringType(), False),
         T.StructField("value", T.StringType(), False),
+        # failure rows carry the attempt count (QuerySummaryList detail,
+        # /root/reference/dnscrawler/querysummarylist.py:4-9); null else
+        T.StructField("attempts", T.IntegerType(), True),
     ]
 )
 
@@ -304,9 +307,15 @@ def fetched_facts(fetched: DataFrame, round_no: int) -> DataFrame:
         "seed",
         F.col("url"),
         F.col("host"),
-        tld_col(F.col("host")).alias("tld"),
-        sld_col(F.col("host")).alias("sld"),
+        suffix_struct_col(F.col("host")).alias("sfx"),
         is_ps_host_col(F.col("host")).alias("ps"),
+    ).select(
+        "seed",
+        "url",
+        "host",
+        F.col("sfx.tld").alias("tld"),
+        F.col("sfx.sld").alias("sld"),
+        "ps",
     )
     facts = base.select(
         "seed",
@@ -327,17 +336,20 @@ def fetched_facts(fetched: DataFrame, round_no: int) -> DataFrame:
         .otherwise(F.col("f.kind"))
         .alias("kind"),
         F.lower(F.col("f.value")).alias("value"),
+        F.lit(None).cast("int").alias("attempts"),
     )
 
 
 def failure_facts(terminal: DataFrame, round_no: int) -> DataFrame:
-    """hazardous/misconfigured fact rows (A3 analog, flattened — the
-    grouped QuerySummaryList shape is rebuilt in results())."""
+    """hazardous/misconfigured fact rows (A3), carrying the attempt count
+    so results() can rebuild the grouped QuerySummaryList shape
+    (/root/reference/dnscrawler/querysummarylist.py:4-9)."""
     return terminal.select(
         F.lit(round_no).alias("round"),
         F.col("seed"),
         F.col("fail_class").alias("kind"),
         F.col("url").alias("value"),
+        F.col("attempts").cast("int").alias("attempts"),
     )
 
 
@@ -347,4 +359,5 @@ def simple_facts(df: DataFrame, kind: str, round_no: int) -> DataFrame:
         F.col("seed"),
         F.lit(kind).alias("kind"),
         F.col("url").alias("value"),
+        F.lit(None).cast("int").alias("attempts"),
     )

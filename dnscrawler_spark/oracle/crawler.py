@@ -35,11 +35,23 @@ P_SEED, P_GLUE, P_EXPAND, P_CARRY, P_RETRY_BASE = 0, 1, 2, 3, 10
 class OracleResult:
     seen: set[str] = field(default_factory=set)
     trace: list[tuple[int, str]] = field(default_factory=list)
+    # (round, host, priority, depth, url) — the digest parity object
+    trace_full: list[tuple[int, str, int, int, str]] = field(default_factory=list)
     facts: dict[str, dict[str, set[str]]] = field(default_factory=dict)  # seed→kind→values
+    # seed → fail_class → [(url, round, attempts)] — the QuerySummaryList
+    # analog (/root/reference/dnscrawler/querysummarylist.py:4-9)
+    failure_detail: dict[str, dict[str, list[tuple[str, int, int]]]] = field(
+        default_factory=dict
+    )
     rounds: int = 0
 
     def fact(self, seed: str, kind: str, value: str) -> None:
         self.facts.setdefault(seed, defaultdict(set))[kind].add(value)
+
+    def failure(self, seed: str, cls: str, url: str, rnd: int, attempts: int) -> None:
+        self.failure_detail.setdefault(seed, defaultdict(list))[cls].append(
+            (url, rnd, attempts)
+        )
 
 
 @dataclass
@@ -115,6 +127,7 @@ def crawl(
             last_label = e.host.rsplit(".", 1)[-1]
             if last_label.isdigit():
                 res.fact(e.seed, "ip_ns_records", e.url)
+                res.failure(e.seed, "ip_ns_records", e.url, r, e.attempts)
                 res.seen.add(e.url)
             elif "/dead-r/" in e.url and e.attempts == 0:
                 retries.append(
@@ -122,9 +135,11 @@ def crawl(
                 )
             elif e.attempts >= 1:
                 res.fact(e.seed, "missing_ns_records", e.url)
+                res.failure(e.seed, "missing_ns_records", e.url, r, e.attempts)
                 res.seen.add(e.url)
             else:
                 res.fact(e.seed, "hazardous", e.url)
+                res.failure(e.seed, "hazardous", e.url, r, e.attempts)
                 res.seen.add(e.url)
 
         # --- facts + glue accumulation (pass 1 over all responses, like
@@ -145,6 +160,7 @@ def crawl(
                 glue.add(canonicalize_url(g))
         trace_rows.sort()
         res.trace.extend((r, t[3]) for t in trace_rows)
+        res.trace_full.extend((r, t[0], t[1], t[2], t[3]) for t in trace_rows)
 
         # --- expansion (pass 2): edges, glue priority, dedup -------------
         cand: dict[str, tuple] = {}

@@ -69,7 +69,13 @@ def count_exchanges(df: DataFrame) -> int:
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen subtrees. AQE hides codegen subtrees
     until runtime, so the same logical plan is re-planned AQE-off for
-    the static count (read-only — the DataFrame is untouched)."""
+    the static count (read-only — the DataFrame is untouched).
+
+    TEST-ONLY and not concurrency-safe: this briefly toggles the
+    session-global ``spark.sql.adaptive.enabled``, so any query planned
+    concurrently in the same session during the window would see AQE
+    off. The engine never calls this at runtime — only tests do, and
+    the test session runs plan checks single-threaded."""
     spark = df.sparkSession
     old = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

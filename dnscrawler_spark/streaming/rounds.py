@@ -47,6 +47,8 @@ FACT_KINDS = [
     "nonhazardous", "robots_blocked",
 ]
 
+FAIL_CLASSES = ["hazardous", "ip_ns_records", "missing_ns_records"]
+
 
 @dataclass
 class CrawlConfig:
@@ -344,7 +346,10 @@ class CrawlEngine:
     def results(self, upto: Snapshot) -> DataFrame:
         """Final per-seed result rows — the domain_dict analog
         (/root/reference/dnscrawler/dnsresolver_new.py:280-298): one row
-        per seed, one sorted deduped array per fact kind."""
+        per seed, one sorted deduped array per fact kind, plus the
+        grouped failure detail ``misconfigured`` map (the
+        QuerySummaryList shape, querysummarylist.py:4-9 /
+        reference README.md:5-52)."""
         facts = self.facts_df(upto)
         pivoted = (
             facts.groupBy("seed")
@@ -355,7 +360,39 @@ class CrawlEngine:
             pivoted = pivoted.withColumn(
                 k, F.coalesce(F.col(k), F.array().cast("array<string>"))
             )
-        return pivoted
+        detail = self.failure_detail(upto)
+        empty_map = F.expr(
+            "cast(map() as map<string,"
+            "array<struct<url:string,round:int,attempts:int>>>)"
+        )
+        return pivoted.join(detail, "seed", "left").withColumn(
+            "misconfigured", F.coalesce(F.col("misconfigured"), empty_map)
+        )
+
+    def failure_detail(self, upto: Snapshot) -> DataFrame:
+        """(seed, misconfigured MAP<fail_class, ARRAY<STRUCT<url, round,
+        attempts>>>) — who failed, when, after how many attempts; arrays
+        sorted for deterministic parity. Rebuilt from the facts table's
+        failure rows (they carry ``attempts``); pure Catalyst
+        (collect_list + map_from_entries), two hash-agg shuffles."""
+        facts = self.facts_df(upto)
+        fail = facts.filter(F.col("kind").isin(*FAIL_CLASSES))
+        per_class = fail.groupBy("seed", "kind").agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("value").alias("url"),
+                        F.col("round").cast("int").alias("round"),
+                        F.col("attempts").alias("attempts"),
+                    )
+                )
+            ).alias("items")
+        )
+        return per_class.groupBy("seed").agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("kind", "items")))
+            ).alias("misconfigured")
+        )
 
     def seen_urls(self, upto: Snapshot) -> DataFrame:
         """The final URL-seen set (north_rule parity object): all
@@ -380,7 +417,11 @@ class CrawlEngine:
     def crawl_trace(self, upto: Snapshot) -> list[tuple[int, str]]:
         """Normalized crawl order: (round, url) for every admitted fetch,
         ordered by (round, host, priority, depth, url) — the engine/oracle
-        parity object for 'exact crawl ordering' (SURVEY §7.3)."""
+        parity object for 'exact crawl ordering' (SURVEY §7.3).
+
+        FIXTURE-SCALE ONLY: this collects every fetched row to the
+        driver. At production scale use ``crawl_trace_digest`` — the
+        same parity information as an O(rounds) digest."""
         rows = []
         for rr in self.store.history():
             if 0 < rr <= upto.round:
@@ -391,3 +432,41 @@ class CrawlEngine:
                     part.sort(key=lambda x: (x["host"], x["priority"], x["depth"], x["url"]))
                     rows.extend((rr - 1, p["url"]) for p in part)
         return rows
+
+    def crawl_trace_digest(self, upto: Snapshot) -> list[dict]:
+        """Distributed trace parity (VERDICT r1 #8): per round, the count
+        and an order-insensitive checksum of the fetched set — computed
+        entirely JVM-side (xxhash64 + sum, whole-stage codegen); the
+        driver receives one row per round, never the rows themselves.
+        Two crawls (engine vs oracle, or run vs resume) agree on the
+        (round, host, priority, depth, url) multiset iff digests match.
+        """
+        out = []
+        for rr in self.store.history():
+            if 0 < rr <= upto.round:
+                s = self.store.load(rr)
+                if "fetched" in s.tables:
+                    df = self.spark.read.parquet(s.tables["fetched"])
+                    out.append({"round": rr - 1, **trace_digest(df)})
+        return out
+
+
+def trace_digest(df: DataFrame) -> dict:
+    """(n, checksum) of a trace-shaped DataFrame with columns
+    (host, priority, depth, url). Order-insensitive: per-row xxhash64
+    summed as decimal(38,0) — exact at any row count (no ANSI long
+    overflow), reduced mod 2^64 driver-side. Used by the engine per
+    round and by parity tests on the oracle's rows (same expression,
+    same types)."""
+    row = df.select(
+        F.col("host").cast("string"),
+        F.col("priority").cast("int"),
+        F.col("depth").cast("int"),
+        F.col("url").cast("string"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.xxhash64("host", "priority", "depth", "url").cast("decimal(38,0)")
+        ).alias("checksum"),
+    ).collect()[0]
+    return {"n": int(row["n"]), "checksum": int(row["checksum"] or 0) % (1 << 64)}

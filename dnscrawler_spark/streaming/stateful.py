@@ -38,14 +38,16 @@ STATE_SCHEMA = T.StructType(
 
 
 def _update(key, pdf_iter, state: GroupState):
+    # emit RAW running sums — rounding happens exactly once, in the final
+    # aggregation (ADVICE r1: per-emission rounding made the max-struct
+    # pick compare rounded intermediates against the batch oracle's
+    # once-rounded total)
     n, s = state.get if state.exists else (0, 0.0)
     for pdf in pdf_iter:
         n += len(pdf)
         s += float(pdf["value"].sum())
     state.update((n, s))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 6)]}
-    )
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
 
 
 def running_user_stats(spark: SparkSession, events_path: str) -> DataFrame:
@@ -72,7 +74,10 @@ def running_user_stats(spark: SparkSession, events_path: str) -> DataFrame:
         )
     )
     ckpt = tempfile.mkdtemp(prefix="stateful_ckpt_")
-    name = f"user_stats_{abs(hash(events_path)) % 10**8}"
+    # stable digest, not process-salted hash() (ADVICE r1)
+    import hashlib
+
+    name = f"user_stats_{hashlib.md5(events_path.encode()).hexdigest()[:12]}"
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -88,5 +93,9 @@ def running_user_stats(spark: SparkSession, events_path: str) -> DataFrame:
     return (
         res.groupBy("user_id")
         .agg(F.max(F.struct("n_events", "sum_value")).alias("b"))
-        .select("user_id", F.col("b.n_events").alias("n_events"), F.col("b.sum_value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("b.n_events").alias("n_events"),
+            F.round(F.col("b.sum_value"), 6).alias("sum_value"),
+        )
     )

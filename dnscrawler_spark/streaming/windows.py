@@ -64,7 +64,10 @@ def windowed_event_counts(
         )
     )
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
-    name = f"windowed_events_{abs(hash(events_path)) % 10**8}"
+    # stable digest, not process-salted hash() (ADVICE r1)
+    import hashlib
+
+    name = f"windowed_events_{hashlib.md5(events_path.encode()).hexdigest()[:12]}"
     q = (
         agg.writeStream.format("memory")
         .queryName(name)

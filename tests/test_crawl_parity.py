@@ -134,3 +134,47 @@ def test_resume_equals_uninterrupted(spark, tmp_path_factory, oracle_result):
     final = eng2.run(resumed)
     assert {r["url"] for r in eng2.seen_urls(final).collect()} == oracle_result.seen
     assert eng2.crawl_trace(final) == oracle_result.trace
+
+
+def test_trace_digest_parity(engine_run, oracle_result, spark):
+    """VERDICT r1 #8: the distributed O(rounds) digest carries the same
+    parity information as the driver-side trace collect — engine digests
+    must match digests of the oracle's per-round (host, priority, depth,
+    url) multisets computed with the identical expression."""
+    from collections import defaultdict
+
+    from dnscrawler_spark.streaming.rounds import trace_digest
+
+    eng, final = engine_run
+    digests = eng.crawl_trace_digest(final)
+    by_round = defaultdict(list)
+    for rr, host, prio, depth, url in oracle_result.trace_full:
+        by_round[rr].append((host, prio, depth, url))
+    assert [d["round"] for d in digests] == sorted(by_round)
+    for d in digests:
+        odf = spark.createDataFrame(
+            by_round[d["round"]], "host string, priority int, depth int, url string"
+        )
+        od = trace_digest(odf)
+        assert (d["n"], d["checksum"]) == (od["n"], od["checksum"]), d["round"]
+
+
+def test_failure_detail_parity(engine_run, oracle_result):
+    """A3 full shape (QuerySummaryList analog): per seed, fail_class ->
+    sorted [(url, round, attempts)] must match the oracle exactly."""
+    eng, final = engine_run
+    rows = {r["seed"]: r["misconfigured"] for r in eng.results(final).collect()}
+    assert set(rows) == set(oracle_result.facts)
+    any_detail = False
+    for seed, mp in rows.items():
+        want = {
+            cls: sorted(items)
+            for cls, items in oracle_result.failure_detail.get(seed, {}).items()
+        }
+        got = {
+            cls: sorted((i["url"], i["round"], i["attempts"]) for i in items)
+            for cls, items in mp.items()
+        }
+        assert got == want, seed
+        any_detail = any_detail or bool(got)
+    assert any_detail, "fixture must exercise at least one failure class"
