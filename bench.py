@@ -70,10 +70,11 @@ def run_crawl(spark) -> dict:
 
     Throughput denominator is end-to-end wall time including snapshot
     commits; numerator is URLs processed through the fetch+dedupe path
-    (fetched + terminal-failed + robots-blocked). ``urls_seen`` is
-    MEASURED from the final seen-state key files (parquet footer row
-    counts, SeenFilter.exact_key_count) and cross-checked against that
-    derived sum — the two must agree exactly.
+    (fetched + terminal-failed + robots-blocked + glue-resolved +
+    qmin-requeried — every URL the engine resolved or terminally
+    classified). ``urls_seen`` is MEASURED from the final seen-state key
+    files (parquet footer row counts, SeenFilter.exact_key_count) and
+    cross-checked against that derived sum — the two must agree exactly.
     """
     from dnscrawler_spark import datagen
     from dnscrawler_spark.streaming.rounds import CrawlConfig, CrawlEngine
@@ -112,7 +113,7 @@ def run_crawl(spark) -> dict:
 
         t0 = time.monotonic()
         snap = eng.start(seeds, hs)
-        fetched = terminal = blocked = deduped = 0
+        fetched = terminal = blocked = glue_resolved = qmin = 0
         rounds = 0
         while not snap.metrics.get("done") and snap.round < cfg.max_rounds:
             snap = eng.run_round(snap)
@@ -120,10 +121,11 @@ def run_crawl(spark) -> dict:
             fetched += m["n_fetched"]
             terminal += m["n_terminal"]
             blocked += m["n_blocked"]
-            # candidates that were seen-filtered or merged away
+            glue_resolved += m["n_glue_resolved"]
+            qmin += m["n_qmin"]
             rounds += 1
         wall = time.monotonic() - t0
-        urls = fetched + terminal + blocked
+        urls = fetched + terminal + blocked + glue_resolved + qmin
         # measured seen-set size (tier-3 key-file footers) — must equal
         # the metrics-derived sum; a mismatch means the headline metric
         # is lying about dedup coverage
@@ -144,6 +146,8 @@ def run_crawl(spark) -> dict:
             "urls_fetched": fetched,
             "urls_terminal": terminal,
             "urls_blocked": blocked,
+            "urls_glue_resolved": glue_resolved,
+            "urls_qmin": qmin,
             "urls_seen": n_seen,
             "wall_sec": round(wall, 3),
             "urls_per_sec": round(urls / wall, 1),

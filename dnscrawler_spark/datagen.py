@@ -101,9 +101,11 @@ def _edges_of(i: int, seed: int, n_pages: int, n_hosts: int) -> tuple[list[str],
     """(out_edges, glue_edges, carry_edges) of page *i*.
 
     Dead-edge URLs encode their failure class in the path:
-    ``/dead-r/`` = retryable-then-missing, ``/dead-h/`` = hazardous —
-    the analog of rcode-driven failure classification
-    (dnsresolver_new.py:220-253) made deterministic.
+    ``/dead-r/`` = retryable-then-missing, ``/dead-h/`` = hazardous,
+    ``/dead-q/img-<t>`` = QNAME-minimized form of page *t*'s URL (the
+    minimized query misses; requerying the full name succeeds —
+    dnsresolver_new.py:216,223-226) — the analog of rcode-driven failure
+    classification (dnsresolver_new.py:220-253) made deterministic.
     """
     em = mix2(i, seed ^ _S_EDGE)
     k = em % 4
@@ -119,8 +121,12 @@ def _edges_of(i: int, seed: int, n_pages: int, n_hosts: int) -> tuple[list[str],
         t = tm % n_pages
         if tm % 13 == 0:  # dead edge → fetch miss
             h = host_of(_host_id(t, seed, n_hosts))
-            kind = "r" if (tm >> 4) % 2 == 0 else "h"
-            edge = f"http://{h}/dead-{kind}/e{(tm >> 8) % 100000:05d}"
+            sel = (tm >> 4) % 3
+            if sel == 2:  # minimized-name form of page t (qmin motif)
+                edge = f"http://{h}/dead-q/img-{t:012d}"
+            else:
+                kind = "r" if sel == 0 else "h"
+                edge = f"http://{h}/dead-{kind}/e{(tm >> 8) % 100000:05d}"
         else:
             edge = page_identity(t, seed, n_hosts)[2]
             if tm % 4 == 0:
@@ -132,6 +138,25 @@ def _edges_of(i: int, seed: int, n_pages: int, n_hosts: int) -> tuple[list[str],
     if not out and em % 2 == 0:
         carry.append(page_identity((i + 17) % n_pages, seed, n_hosts)[2])
     return out, glue, carry
+
+
+def qmin_fallback_url(url: str, seed: int) -> str | None:
+    """Full-name URL for a ``/dead-q/`` minimized URL — the
+    QNAME-minimization fallback analog (dnsresolver_new.py:216,223-226:
+    requery with ``original_name`` on an empty non-NXDOMAIN response).
+    Same host; the target page's true path. Pure function shared by the
+    engine's fetch-policy stage and the oracle. None if not a qmin URL.
+    """
+    j = url.find("/dead-q/img-")
+    if j < 0:
+        return None
+    digits = url[j + len("/dead-q/img-") :]
+    if not (digits.isdigit() and len(digits) == 12):
+        return None
+    t = int(digits)
+    pm = mix2(t, seed ^ _S_PATH)
+    path = f"/priv/img-{t:012d}" if pm % 11 == 0 else f"/img/img-{t:012d}"
+    return url[:j] + path
 
 
 def page_pixels(i: int, seed: int, px_scale: int = 1) -> tuple[np.ndarray, int, int]:

@@ -32,6 +32,7 @@ from dnscrawler_spark.operators.frontier import (
     PRIORITY_CARRY,
     PRIORITY_EXPAND,
     PRIORITY_GLUE,
+    PRIORITY_QMIN,
     PRIORITY_RETRY_BASE,
     derive_frontier_cols,
 )
@@ -168,17 +169,29 @@ def _url_page_index(url: str) -> int | None:
     return int(digits) if digits.isdigit() and len(digits) == 12 else None
 
 
-def classify_misses(misses: DataFrame) -> tuple[DataFrame, DataFrame]:
+def classify_misses(
+    misses: DataFrame, gen_seed: int = 42
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Failure classification on fetch misses (dnsresolver_new.py:237-253
     made deterministic):
 
     - numeric last host label       → misconfigured 'ip_ns_records'
     - retryable (path /dead-r/),    → re-enqueued once, demoted priority
       first attempt                   (the retry pass, run/run.py:62-67)
+    - minimized form (/dead-q/),    → QNAME-minimization fallback (O7,
+      first attempt                   dnsresolver_new.py:216,223-226):
+                                      requery the FULL name — the
+                                      transformed url becomes a new
+                                      expansion candidate
     - second-attempt miss           → misconfigured 'missing_ns_records'
     - anything else                 → 'hazardous'
 
-    Returns (retries_frontier_rows, terminal_failures_with_class).
+    Returns (retries_frontier_rows, terminal_failures_with_class,
+    qmin_rows). ``qmin_rows`` carry the original minimized url (for the
+    'qmin_requery' fact + seen insert) and the fallback full-name url
+    (feeds expand_candidates as an extra edge at PRIORITY_QMIN). The
+    fallback transform is a Python pure function of (url, gen_seed) —
+    Arrow-batched over the handful of qmin misses, never the hot path.
     """
     labeled = misses.withColumn(
         "fail_class",
@@ -190,6 +203,10 @@ def classify_misses(misses: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.col("url").contains("/dead-r/") & (F.col("attempts") == 0),
             F.lit("retry"),
         )
+        .when(
+            F.col("url").contains("/dead-q/") & (F.col("attempts") == 0),
+            F.lit("qmin"),
+        )
         .when(F.col("attempts") >= 1, F.lit("missing_ns_records"))
         .otherwise(F.lit("hazardous")),
     )
@@ -200,8 +217,28 @@ def classify_misses(misses: DataFrame) -> tuple[DataFrame, DataFrame]:
         .withColumn("reason", F.lit("retry"))
         .select(*FRONTIER_COLS)
     )
-    terminal = labeled.filter(F.col("fail_class") != "retry")
-    return retries, terminal
+    terminal = labeled.filter(~F.col("fail_class").isin("retry", "qmin"))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StringType())
+    def fallback(url: pd.Series) -> pd.Series:
+        from dnscrawler_spark.datagen import qmin_fallback_url
+
+        return url.map(lambda u: qmin_fallback_url(u, gen_seed) or "")
+
+    qmin = (
+        labeled.filter(F.col("fail_class") == "qmin")
+        .select(
+            F.col("url").alias("orig_url"),
+            F.col("url_key").alias("orig_url_key"),
+            "seed",
+            "depth",
+            fallback(F.col("url")).alias("url"),
+        )
+        .filter(F.col("url") != "")
+    )
+    return retries, terminal, qmin
 
 
 def verify_payloads(fetched: DataFrame, gen_seed: int, px_scale: int = 1) -> DataFrame:
@@ -236,16 +273,26 @@ def new_glue(fetched: DataFrame) -> DataFrame:
 
 
 def expand_candidates(
-    fetched: DataFrame, glue: DataFrame, n_salts: int, next_round: int, glue_broadcast: bool = True
+    fetched: DataFrame,
+    glue: DataFrame,
+    n_salts: int,
+    next_round: int,
+    glue_broadcast: bool = True,
+    extra_edges: DataFrame | None = None,
 ) -> DataFrame:
     """Edge explosion + glue join + per-key dedup → next-round frontier
     candidates (before seen/in-flight anti-joins).
 
     Carry-forward: when a response has no out_edges, its carry_edges
     play the parent-zone-NS role (O8). Priority bands: glue-hit 1,
-    plain 2, carry 3. Within-round dedup picks the best discovering
-    parent by (priority, depth, seed) — the oracle applies the same
-    rule, so crawl order matches.
+    plain 2, carry 3, qmin fallback 4. Within-round dedup picks the best
+    discovering parent by (priority, depth, seed) — the oracle applies
+    the same rule, so crawl order matches.
+
+    ``extra_edges``: additional candidate rows (seed, depth, url) with
+    reason 'qmin' — the full-name requeries from classify_misses; they
+    ride the same glue join (a glue hit on the full name short-circuits
+    exactly like any discovered edge) and the same dedup.
     """
     edges = fetched.select(
         F.col("seed"),
@@ -259,6 +306,13 @@ def expand_candidates(
             "reason"
         ),
     )
+    if extra_edges is not None:
+        edges = edges.unionByName(
+            extra_edges.select(
+                "seed", F.col("depth").cast("int").alias("depth"), "url",
+                F.lit("qmin").alias("reason"),
+            )
+        )
     edges = edges.withColumn("url", canon_url_col(F.col("url"))).withColumn(
         "url_key", url_key_col(F.col("url"))
     )
@@ -270,11 +324,13 @@ def expand_candidates(
         "priority",
         F.when(F.col("reason") == "carry", F.lit(PRIORITY_CARRY))
         .when(F.col("glue_hit"), F.lit(PRIORITY_GLUE))
+        .when(F.col("reason") == "qmin", F.lit(PRIORITY_QMIN))
         .otherwise(F.lit(PRIORITY_EXPAND)),
     ).withColumn(
         "reason",
         F.when(
-            (F.col("reason") == "expand") & F.col("glue_hit").isNotNull(), F.lit("glue")
+            F.col("reason").isin("expand", "qmin") & F.col("glue_hit").isNotNull(),
+            F.lit("glue"),
         ).otherwise(F.col("reason")),
     )
     # within-round dedup: one row per url_key, best (priority, depth, seed).

@@ -33,6 +33,7 @@ PRIORITY_SEED = 0
 PRIORITY_GLUE = 1
 PRIORITY_EXPAND = 2
 PRIORITY_CARRY = 3
+PRIORITY_QMIN = 4  # full-name requery after a minimized-form miss (O7)
 PRIORITY_RETRY_BASE = 10
 
 FRONTIER_SCHEMA = T.StructType(

@@ -75,11 +75,16 @@ INSERT_STATS_SCHEMA = T.StructType(
 )
 
 # merged insert+probe output: verdict rows (is_stat=false) + one stat row
-# per touched shard (is_stat=true) from a single applyInPandas pass
+# per touched shard (is_stat=true) from a single applyInPandas pass.
+# role: 0=insert (no verdict rows), 1=probe, 2=resolve (probe-then-insert:
+# the glue short-circuit — an unseen resolve key is marked seen in the
+# same pass, because its resolution comes from the glue payload, not a
+# fetch; dnsresolver_new.py:125-126)
 MERGED_SCHEMA = T.StructType(
     [
         T.StructField("url_key", T.LongType(), True),
         T.StructField("seen", T.BooleanType(), True),
+        T.StructField("role", T.IntegerType(), True),
         T.StructField("is_stat", T.BooleanType(), False),
         T.StructField("shard_id", T.IntegerType(), True),
         T.StructField("n_items", T.LongType(), True),
@@ -126,6 +131,27 @@ def _exact_confirm(suspects: np.ndarray, files: list[str]) -> np.ndarray:
     )
     hits = tbl.column("url_key").to_numpy(zero_copy_only=False)
     return np.isin(suspects, hits)
+
+
+def _already_seen(shard: "_Shard", keys: np.ndarray, key_dirs: list[str], sid: int) -> np.ndarray:
+    """Exact membership of ``keys`` in the shard's CURRENT state (bloom
+    fast path → cuckoo → tier-3 confirm). Used to keep per-round tier-3
+    key files disjoint: an insert of an already-seen key (e.g. a leftover
+    frontier row fetched after its url was glue-resolved) must not
+    re-append the key."""
+    seen = np.zeros(len(keys), dtype=bool)
+    if not len(keys):
+        return seen
+    maybe = shard.bloom_probe(keys)
+    if maybe.any():
+        sus = keys[maybe]
+        cu = shard.cuckoo_probe(sus)
+        need = cu | shard.degraded
+        hit = np.zeros(len(sus), dtype=bool)
+        if need.any():
+            hit[need] = _exact_confirm(sus[need], _shard_key_files(key_dirs, sid))
+        seen[maybe] = hit
+    return seen
 
 
 class _Shard:
@@ -364,6 +390,8 @@ class SeenFilter:
         paths = dict(self.shard_paths)
         n_bits, n_buckets, k = self.n_bits, self.n_buckets, self.k
 
+        key_dirs = list(self.key_files)
+
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             keys = np.unique(pdf[key_col].to_numpy(dtype=np.int64))
             sid = int(pdf["shard_id"].iloc[0])
@@ -373,6 +401,7 @@ class SeenFilter:
                 if prev and os.path.exists(prev)
                 else _Shard(n_bits, n_buckets, k)
             )
+            keys = keys[~_already_seen(shard, keys, key_dirs, sid)]
             before = shard.n_items
             shard.bloom_insert(keys)
             shard.cuckoo_insert(keys)
@@ -416,21 +445,28 @@ class SeenFilter:
         probe_df: DataFrame,
         round_no: int,
         key_col: str = "url_key",
-    ) -> tuple["SeenFilter", DataFrame]:
+        resolve_col=None,
+    ):
         """One applyInPandas pass per round instead of two: each shard
         group inserts this round's keys (rewriting its npz + exact-key
         parquet, as ``insert`` does) and THEN probes the candidate keys
         against the updated shard — the exact sequential semantics of
         insert-then-probe, at half the shuffle/action cost.
 
-        Returns ``(new_filter, unseen_df)`` where ``unseen_df`` contains
-        only the rows of ``probe_df`` whose key is definitively unseen —
-        bloom/cuckoo fast path plus the in-task exact confirm against
-        THIS shard's tier-3 key files (same-round inserts are confirmed
-        from the in-memory insert array, so the probe sees the
-        post-insert state exactly). ``unseen_df`` is persisted; the
-        single stats collect is the one action that materializes the
-        whole pass.
+        ``resolve_col`` (optional): a boolean Column over ``probe_df``
+        marking rows to PROBE-THEN-INSERT — the glue short-circuit
+        (dnsresolver_new.py:125-126): an unseen resolve row is resolved
+        from the glue payload (no fetch), so its key enters the seen set
+        in the same pass and it never re-enters the frontier.
+
+        Returns ``(new_filter, unseen_df)`` without ``resolve_col``, else
+        ``(new_filter, unseen_df, resolved_new_df)`` where ``unseen_df``
+        holds the plain probe rows that are definitively unseen and
+        ``resolved_new_df`` the resolve rows that were unseen (now
+        inserted). Verdicts are exact: bloom/cuckoo fast path plus the
+        in-task shard-pruned tier-3 confirm (same-round inserts included
+        from the in-memory arrays). The single stats collect is the one
+        action that materializes the whole pass.
         """
         out_dir = os.path.join(self.state_dir, f"seen_r{round_no:06d}")
         keys_dir = os.path.join(out_dir, "keys.parquet")
@@ -442,7 +478,8 @@ class SeenFilter:
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             sid = int(pdf["shard_id"].iloc[0])
             ins = pdf.loc[pdf["role"] == 0, "url_key"].to_numpy(dtype=np.int64)
-            prb = pdf.loc[pdf["role"] == 1, "url_key"].to_numpy(dtype=np.int64)
+            prb = pdf.loc[pdf["role"] >= 1, "url_key"].to_numpy(dtype=np.int64)
+            roles = pdf.loc[pdf["role"] >= 1, "role"].to_numpy(dtype=np.int32)
             prev = paths.get(sid)
             shard = (
                 _Shard.load(prev)
@@ -452,17 +489,10 @@ class SeenFilter:
             new_path = prev or ""
             if ins.size:
                 ins = np.unique(ins)
+                ins = ins[~_already_seen(shard, ins, key_dirs, sid)]
+            if ins.size:
                 shard.bloom_insert(ins)
                 shard.cuckoo_insert(ins)
-                new_path = os.path.join(out_dir, f"shard_{sid:05d}.npz")
-                shard.save(new_path)
-                kp = os.path.join(keys_dir, f"part-{sid:05d}.parquet")
-                tmp = f"{kp}.tmp-{uuid.uuid4().hex[:8]}"
-                pd.DataFrame({"url_key": ins}).to_parquet(tmp, index=False)
-                os.replace(tmp, kp)
-            # pre-typed columns throughout (nullable pandas dtypes), so the
-            # stat row + probe rows concatenate without the all-NA-frame
-            # dtype-inference deprecation (ADVICE r1 #3)
             n = len(prb)
             seen = np.zeros(n, dtype=bool)
             if n:
@@ -477,6 +507,28 @@ class SeenFilter:
                     if ins.size:
                         hit |= np.isin(sus, ins)
                     seen[needs_exact] = hit
+            # unseen resolve rows become seen NOW (resolved via glue):
+            # their keys join this round's inserts in bloom/cuckoo + the
+            # tier-3 key file
+            resolved_new = prb[(roles == 2) & ~seen] if n else np.empty(0, np.int64)
+            all_new = (
+                np.unique(np.concatenate([ins, resolved_new]))
+                if resolved_new.size
+                else ins
+            )
+            if resolved_new.size:
+                shard.bloom_insert(resolved_new)
+                shard.cuckoo_insert(resolved_new)
+            if all_new.size:
+                new_path = os.path.join(out_dir, f"shard_{sid:05d}.npz")
+                shard.save(new_path)
+                kp = os.path.join(keys_dir, f"part-{sid:05d}.parquet")
+                tmp = f"{kp}.tmp-{uuid.uuid4().hex[:8]}"
+                pd.DataFrame({"url_key": all_new}).to_parquet(tmp, index=False)
+                os.replace(tmp, kp)
+            # pre-typed columns throughout (nullable pandas dtypes), so the
+            # stat row + probe rows concatenate without the all-NA-frame
+            # dtype-inference deprecation (ADVICE r1 #3).
             # row 0 is the stat row; rows 1..n are probe verdicts
             na_head = np.zeros(n + 1, dtype=bool)
             na_head[0] = True
@@ -486,6 +538,10 @@ class SeenFilter:
             )
             seen_col = pd.arrays.BooleanArray(
                 np.concatenate([[False], seen]), mask=na_head.copy()
+            )
+            role_col = pd.arrays.IntegerArray(
+                np.concatenate([np.zeros(1, dtype=np.int32), roles]).astype(np.int32),
+                mask=na_head.copy(),
             )
             n_items = pd.arrays.IntegerArray(
                 np.full(n + 1, shard.n_items, dtype=np.int64), mask=na_tail.copy()
@@ -497,6 +553,7 @@ class SeenFilter:
                 {
                     "url_key": url_key,
                     "seen": seen_col,
+                    "role": role_col,
                     "is_stat": pd.array(na_head, dtype="boolean"),
                     "shard_id": pd.array(np.full(n + 1, sid, dtype=np.int32), dtype="Int32"),
                     "n_items": n_items,
@@ -505,12 +562,17 @@ class SeenFilter:
                 }
             )
 
+        probe_role = (
+            F.when(resolve_col, F.lit(2)).otherwise(F.lit(1))
+            if resolve_col is not None
+            else F.lit(1)
+        )
         tagged = (
             insert_keys.select(F.col(key_col).alias("url_key"))
             .withColumn("role", F.lit(0))
             .unionByName(
-                probe_df.select(F.col(key_col).alias("url_key")).withColumn(
-                    "role", F.lit(1)
+                probe_df.select(
+                    F.col(key_col).alias("url_key"), probe_role.alias("role")
                 )
             )
         )
@@ -544,12 +606,25 @@ class SeenFilter:
         # verdicts are already EXACT (suspects confirmed in-task against
         # the shard's own tier-3 files + this round's in-memory inserts):
         # no union, no anti-join, one semi-join back onto the candidates
-        unseen_keys = (
-            merged.filter(~F.col("is_stat") & ~F.col("seen"))
+        fresh = merged.filter(~F.col("is_stat") & ~F.col("seen"))
+        if resolve_col is None:
+            unseen_keys = fresh.select("url_key").withColumnRenamed("url_key", key_col)
+            return new_filter, probe_df.join(unseen_keys, key_col, "left_semi")
+        plain_keys = (
+            fresh.filter(F.col("role") == 1)
             .select("url_key")
             .withColumnRenamed("url_key", key_col)
         )
-        return new_filter, probe_df.join(unseen_keys, key_col, "left_semi")
+        resolved_keys = (
+            fresh.filter(F.col("role") == 2)
+            .select("url_key")
+            .withColumnRenamed("url_key", key_col)
+        )
+        return (
+            new_filter,
+            probe_df.join(plain_keys, key_col, "left_semi"),
+            probe_df.join(resolved_keys, key_col, "left_semi"),
+        )
 
     def exact_key_count(self) -> int:
         """Measured size of the seen set: total rows across the tier-3

@@ -24,11 +24,11 @@ import math
 from collections import defaultdict
 from dataclasses import dataclass, field
 
-from dnscrawler_spark.datagen import host_policy
+from dnscrawler_spark.datagen import host_policy, qmin_fallback_url
 from dnscrawler_spark.functions.canon import canonicalize_url, host_of_url, path_of_url
 from dnscrawler_spark.functions.suffix import extract, is_ps_host
 
-P_SEED, P_GLUE, P_EXPAND, P_CARRY, P_RETRY_BASE = 0, 1, 2, 3, 10
+P_SEED, P_GLUE, P_EXPAND, P_CARRY, P_QMIN, P_RETRY_BASE = 0, 1, 2, 3, 4, 10
 
 
 @dataclass
@@ -73,6 +73,8 @@ def crawl(
     seed_urls: list[str],
     rate_scale: float = 1.0,
     max_rounds: int = 64,
+    gen_seed: int = 42,
+    seed_budget: int | None = None,
 ) -> OracleResult:
     by_url = {p["url"]: p for p in pages}
     hosts = sorted({p["host"] for p in pages})
@@ -85,8 +87,22 @@ def crawl(
         frontier.append(_Entry(u, host_of_url(u), P_SEED, 0, "seed", u))
 
     glue: set[str] = set()
+    fetch_counts: dict[str, int] = defaultdict(int)
     r = 0
     while frontier and r < max_rounds:
+        # --- per-seed budget (round-granular, run/run.py:59 analog) -----
+        if seed_budget is not None:
+            kept = []
+            for e in frontier:
+                if fetch_counts[e.seed] >= seed_budget:
+                    res.fact(e.seed, "budget_exceeded", e.url)
+                    res.seen.add(e.url)
+                else:
+                    kept.append(e)
+            frontier = kept
+            if not frontier:
+                break
+
         # --- refill (politeness.refill) --------------------------------
         for h in hosts:
             tokens[h] = min(policy[h]["burst"], tokens[h] + policy[h]["rate"])
@@ -118,7 +134,7 @@ def crawl(
                 tokens[h] -= len(q[:budget])
 
         # --- fetch + classify -------------------------------------------
-        fetched, retries = [], []
+        fetched, retries, qmin_fallbacks = [], [], []
         for e in admitted:
             page = by_url.get(e.url)
             if page is not None:
@@ -133,6 +149,15 @@ def crawl(
                 retries.append(
                     _Entry(e.url, e.host, e.priority + P_RETRY_BASE, e.depth, "retry", e.seed, 1)
                 )
+            elif "/dead-q/" in e.url and e.attempts == 0:
+                # QNAME-minimization fallback (O7, dnsresolver_new.py:
+                # 216,223-226): the minimized form misses; requery the
+                # full name as a new candidate
+                fb = qmin_fallback_url(e.url, gen_seed)
+                res.fact(e.seed, "qmin_requery", e.url)
+                res.seen.add(e.url)
+                if fb:
+                    qmin_fallbacks.append((canonicalize_url(fb), e.depth, e.seed))
             elif e.attempts >= 1:
                 res.fact(e.seed, "missing_ns_records", e.url)
                 res.failure(e.seed, "missing_ns_records", e.url, r, e.attempts)
@@ -161,6 +186,8 @@ def crawl(
         trace_rows.sort()
         res.trace.extend((r, t[3]) for t in trace_rows)
         res.trace_full.extend((r, t[0], t[1], t[2], t[3]) for t in trace_rows)
+        for e, _page in fetched:
+            fetch_counts[e.seed] += 1  # budget state for NEXT round's check
 
         # --- expansion (pass 2): edges, glue priority, dedup -------------
         cand: dict[str, tuple] = {}
@@ -178,6 +205,16 @@ def crawl(
                 key = (prio, e.depth + 1, e.seed)
                 if cu not in cand or key < cand[cu][0]:
                     cand[cu] = (key, reason)
+        for cu, depth, seed in qmin_fallbacks:
+            # full-name requery rides the same glue check + dedup as any
+            # discovered edge (engine: expand_candidates extra_edges)
+            if cu in glue:
+                prio, reason = P_GLUE, "glue"
+            else:
+                prio, reason = P_QMIN, "qmin"
+            key = (prio, depth, seed)
+            if cu not in cand or key < cand[cu][0]:
+                cand[cu] = (key, reason)
 
         inflight = {e.url for e in leftover} | {e.url for e in retries}
         new_rows = []
@@ -185,6 +222,22 @@ def crawl(
             (prio, depth, seed), reason = cand[cu]
             if cu in res.seen:
                 continue  # memo hit (J3)
+            if reason == "glue":
+                # glue short-circuit (dnsresolver_new.py:125-126): the
+                # glue payload IS the resolution — record the same facts
+                # a fetch would yield, mark seen, never enqueue/fetch
+                host = host_of_url(cu)
+                tld, sld = extract(host)
+                pre = "ps_" if is_ps_host(host) else ""
+                res.fact(seed, pre + "url", cu)
+                res.fact(seed, pre + "host", host)
+                if tld:
+                    res.fact(seed, pre + "tld", tld)
+                if sld:
+                    res.fact(seed, pre + "sld", sld)
+                res.fact(seed, "glue_resolved", cu)
+                res.seen.add(cu)
+                continue
             if cu in inflight:
                 res.fact(seed, "nonhazardous", cu)  # cycle break (P11)
                 continue

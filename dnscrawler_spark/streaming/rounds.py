@@ -44,7 +44,8 @@ FACT_KINDS = [
     "url", "host", "tld", "sld",
     "ps_url", "ps_host", "ps_tld", "ps_sld",
     "hazardous", "ip_ns_records", "missing_ns_records",
-    "nonhazardous", "robots_blocked",
+    "nonhazardous", "robots_blocked", "glue_resolved", "qmin_requery",
+    "budget_exceeded",
 ]
 
 FAIL_CLASSES = ["hazardous", "ip_ns_records", "missing_ns_records"]
@@ -70,6 +71,12 @@ class CrawlConfig:
     px_scale: int = 1
     n_pages: int | None = None  # synthetic mode: URL-space size
     n_hosts: int | None = None
+    # per-seed cumulative fetch budget (the deterministic analog of the
+    # reference's per-seed wall-clock kill, run/run.py:59). Checked at
+    # round granularity: a seed whose fetched count at round start is >=
+    # the budget has ALL its pending frontier rows demoted to the
+    # terminal 'budget_exceeded' class. None = unlimited (no overhead).
+    seed_budget: int | None = None
 
 
 class CrawlEngine:
@@ -164,6 +171,23 @@ class CrawlEngine:
             glue = spark.createDataFrame([], X.GLUE_SCHEMA)
         seen = SeenFilter.from_manifest(snap.seen)
 
+        # per-seed budget (run/run.py:59 analog): demote every frontier
+        # row of an exhausted seed before politeness. Broadcast-semi on
+        # the tiny exhausted-seed dim; zero overhead when budget unset.
+        over_budget = None
+        seed_state = None
+        if cfg.seed_budget is not None:
+            seed_state = store.read_table(spark, snap, "seed_state")
+            if seed_state is None:
+                seed_state = spark.createDataFrame([], "seed string, n_fetched long")
+            exhausted = seed_state.filter(
+                F.col("n_fetched") >= cfg.seed_budget
+            ).select("seed")
+            over_budget = frontier.join(
+                F.broadcast(exhausted), "seed", "left_semi"
+            ).persist()
+            frontier = frontier.join(F.broadcast(exhausted), "seed", "left_anti")
+
         frontier = repartition_by_host(frontier)
         admitted, leftover, blocked, host_state2 = pol.admit(frontier, host_state, r)
         # every politeness output has 2+ consumers — cache them or each
@@ -203,26 +227,38 @@ class CrawlEngine:
                 F.sum((~F.col("payload_ok")).cast("long")) if has_ok else F.lit(0)
             ).alias("bad"),
         ).persist()
-        retries, terminal = X.classify_misses(misses)
+        retries, terminal, qmin = X.classify_misses(misses, cfg.gen_seed)
         retries = retries.persist()
         terminal = terminal.persist()
+        qmin = qmin.persist()
 
         glue2 = glue.union(X.new_glue(fetched)).distinct().persist()
         candidates = X.expand_candidates(
-            fetched, glue2, cfg.n_salts, r + 1, cfg.glue_broadcast
+            fetched, glue2, cfg.n_salts, r + 1, cfg.glue_broadcast,
+            extra_edges=qmin,
         )
 
         seen_keys = (
             fetched.select("url_key")
             .union(terminal.select("url_key"))
             .union(blocked.select("url_key"))
+            # the minimized-form url itself is done (requery enqueued)
+            .union(qmin.select(F.col("orig_url_key").alias("url_key")))
         )
+        if over_budget is not None:
+            seen_keys = seen_keys.union(over_budget.select("url_key"))
         # ONE fused applyInPandas pass: per shard, insert this round's
         # keys (npz + exact-key tier rewrite) then probe the expansion
-        # candidates against the updated shard. Its stats collect is also
+        # candidates against the updated shard. Glue-hit candidates are
+        # resolve rows (the glue short-circuit, dnsresolver_new.py:
+        # 125-126): an unseen glue hit is resolved from the glue payload
+        # — facts now, seen now, never fetched. The stats collect is also
         # the action that materializes the fetched/blocked caches.
-        seen2, unseen = seen.insert_and_probe(seen_keys, candidates, r)
+        seen2, unseen, glue_resolved = seen.insert_and_probe(
+            seen_keys, candidates, r, resolve_col=F.col("reason") == "glue"
+        )
         unseen = unseen.persist()
+        glue_resolved = glue_resolved.persist()
         inflight = leftover.select("url_key").union(retries.select("url_key"))
         nonhaz = unseen.join(inflight, "url_key", "left_semi")
         new_rows = unseen.join(inflight, "url_key", "left_anti")
@@ -245,15 +281,28 @@ class CrawlEngine:
         obs_facts = Observation(f"facts_r{r}")
         facts = (
             X.fetched_facts(fetched, r)
+            .union(X.fetched_facts(glue_resolved, r))  # glue payload facts
+            .union(X.simple_facts(glue_resolved, "glue_resolved", r))
             .union(X.failure_facts(terminal, r))
             .union(X.simple_facts(nonhaz, "nonhazardous", r))
             .union(X.simple_facts(blocked, "robots_blocked", r))
-        ).observe(
+            .union(
+                X.simple_facts(
+                    qmin.select("seed", F.col("orig_url").alias("url")),
+                    "qmin_requery", r,
+                )
+            )
+        )
+        if over_budget is not None:
+            facts = facts.union(X.simple_facts(over_budget, "budget_exceeded", r))
+        facts = facts.observe(
             obs_facts,
             F.sum(
                 F.col("kind").isin("hazardous", "ip_ns_records", "missing_ns_records").cast("long")
             ).alias("n_terminal"),
             F.sum((F.col("kind") == "robots_blocked").cast("long")).alias("n_blocked"),
+            F.sum((F.col("kind") == "glue_resolved").cast("long")).alias("n_glue"),
+            F.sum((F.col("kind") == "qmin_requery").cast("long")).alias("n_qmin"),
         )
 
         # ---- parallel snapshot writes ---------------------------------------
@@ -275,8 +324,21 @@ class CrawlEngine:
             "glue": glue2.coalesce(n_small),
             "fetched": fetched_slim,
         }
+        if cfg.seed_budget is not None:
+            # cumulative per-seed fetch counts (budget state for the NEXT
+            # round's exhaustion check — round-granular by design)
+            seed_state2 = (
+                seed_state.unionByName(
+                    fetched.groupBy("seed").agg(
+                        F.count(F.lit(1)).cast("long").alias("n_fetched")
+                    )
+                )
+                .groupBy("seed")
+                .agg(F.sum("n_fetched").alias("n_fetched"))
+            )
+            phase_a["seed_state"] = seed_state2.coalesce(n_small)
         phase_b = {"frontier": frontier2, "facts": facts}
-        with ThreadPoolExecutor(max_workers=3) as ex:
+        with ThreadPoolExecutor(max_workers=4) as ex:
             futs = {
                 name: ex.submit(store.write_table, df, r + 1, name)
                 for name, df in phase_a.items()
@@ -298,6 +360,7 @@ class CrawlEngine:
         n_fetched = int(obs_fetched.get["n"])
         n_terminal = int(obs_facts.get["n_terminal"] or 0)
         n_blocked = int(obs_facts.get["n_blocked"] or 0)
+        n_qmin = int(obs_facts.get["n_qmin"] or 0)
         n_frontier2 = n_left + n_retry + n_new
         lineage = []
         if cfg.collect_lineage:
@@ -310,13 +373,15 @@ class CrawlEngine:
         nxt.lineage = lineage
         nxt.metrics = {
             "round": r,
-            "n_admitted": n_fetched + n_retry + n_terminal,
+            "n_admitted": n_fetched + n_retry + n_terminal + n_qmin,
             "n_fetched": n_fetched,
-            "n_missed": n_retry + n_terminal,
+            "n_missed": n_retry + n_terminal + n_qmin,
+            "n_qmin": n_qmin,
             "n_blocked": n_blocked,
             "n_retry": n_retry,
             "n_terminal": n_terminal,
             "n_new": n_new,
+            "n_glue_resolved": int(obs_facts.get["n_glue"] or 0),
             "n_frontier_next": n_frontier2,
             "n_bad_payloads": int(obs_fetched.get["bad"] or 0),
             "wall_ms": round((time.monotonic() - t0) * 1e3, 1),
@@ -324,8 +389,13 @@ class CrawlEngine:
         }
         store.commit(nxt)
 
-        for df in (admitted, leftover, blocked, fetched, retries, terminal, glue2, unseen):
+        for df in (
+            admitted, leftover, blocked, fetched, retries, terminal, qmin,
+            glue2, unseen, glue_resolved,
+        ):
             df.unpersist()
+        if over_budget is not None:
+            over_budget.unpersist()
         if enriched is not None:
             enriched.unpersist()
         seen2.release()
@@ -409,7 +479,13 @@ class CrawlEngine:
         )
         fact_urls = (
             self.facts_df(upto)
-            .filter(F.col("kind").isin("hazardous", "ip_ns_records", "missing_ns_records", "robots_blocked"))
+            .filter(
+                F.col("kind").isin(
+                    "hazardous", "ip_ns_records", "missing_ns_records",
+                    "robots_blocked", "glue_resolved", "qmin_requery",
+                    "budget_exceeded",
+                )
+            )
             .select(F.col("value").alias("url"))
         )
         return fetched_urls.union(fact_urls).distinct()

@@ -178,3 +178,66 @@ def test_failure_detail_parity(engine_run, oracle_result):
         assert got == want, seed
         any_detail = any_detail or bool(got)
     assert any_detail, "fixture must exercise at least one failure class"
+
+
+def test_glue_short_circuit(engine_run, oracle_result):
+    """VERDICT r1 #5: a glue hit short-circuits the fetch — the target is
+    resolved from the glue payload (facts + seen) and (unless it was
+    already in-flight from an earlier discovery) never admitted to
+    fetch."""
+    eng, final = engine_run
+    glue_urls = set()
+    for kinds in oracle_result.facts.values():
+        glue_urls |= kinds.get("glue_resolved", set())
+    assert glue_urls, "fixture must exercise the glue short-circuit"
+    fetched_urls = {u for (_, u) in eng.crawl_trace(final)}
+    never_fetched = glue_urls - fetched_urls
+    assert never_fetched, "some glue-resolved targets must skip fetch entirely"
+    seen = {r["url"] for r in eng.seen_urls(final).collect()}
+    assert glue_urls <= seen
+
+
+def test_qmin_fallback_motif(engine_run, oracle_result):
+    """O7 (QNAME-minimization fallback): a /dead-q/ miss records a
+    qmin_requery fact and the full-name requery is fetched in a later
+    round (engine==oracle covered by the parity tests above)."""
+    eng, final = engine_run
+    qmin_urls = set()
+    for kinds in oracle_result.facts.values():
+        qmin_urls |= kinds.get("qmin_requery", set())
+    assert qmin_urls, "fixture must exercise the qmin fallback"
+    fbs = {datagen.qmin_fallback_url(u, SEED) for u in qmin_urls}
+    fetched_urls = {u for (_, u) in eng.crawl_trace(final)}
+    seen = {r["url"] for r in eng.seen_urls(final).collect()}
+    assert fbs & seen, "full-name requeries must be processed"
+    assert qmin_urls <= seen, "minimized urls are done after the requery"
+
+
+def test_seed_budget_parity(spark, tmp_path_factory, corpus):
+    """W5/X2 per-seed budget (run/run.py:59 analog): engine and oracle
+    agree under a tight budget, and the budget actually fires."""
+    root = str(tmp_path_factory.mktemp("budget"))
+    budget = 6
+    ores = oracle.crawl(
+        corpus, datagen.seed_urls(N_SEEDS, N, seed=SEED),
+        max_rounds=MAX_ROUNDS, seed_budget=budget,
+    )
+    pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
+    hs = datagen.generate_host_state(pages)
+    cfg = CrawlConfig(
+        max_rounds=MAX_ROUNDS, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
+        partitions=4, seed_budget=budget,
+    )
+    eng = CrawlEngine(spark, pages, root, cfg)
+    snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
+    final = eng.run(snap)
+    assert {r["url"] for r in eng.seen_urls(final).collect()} == ores.seen
+    assert eng.crawl_trace(final) == ores.trace
+    exceeded = set()
+    for kinds in ores.facts.values():
+        exceeded |= kinds.get("budget_exceeded", set())
+    assert exceeded, "tight budget must demote some frontier rows"
+    results = {r["seed"]: r for r in eng.results(final).collect()}
+    for seed, kinds in ores.facts.items():
+        want = sorted(kinds.get("budget_exceeded", set()))
+        assert list(results[seed]["budget_exceeded"]) == want
