@@ -26,7 +26,7 @@ from pyspark.sql import types as T
 
 from dnscrawler_spark import codecs, datagen
 from dnscrawler_spark.functions.canon import canon_url_col, host_col, url_key_col
-from dnscrawler_spark.functions.suffix import is_ps_host_col, suffix_struct_col
+from dnscrawler_spark.functions.suffix import is_ps_host_col
 from dnscrawler_spark.operators.frontier import (
     FRONTIER_COLS,
     PRIORITY_CARRY,
@@ -111,6 +111,8 @@ def fetch_synthetic(
     """
     from dnscrawler_spark import codecs, datagen  # local import, avoids cycles
 
+    from dnscrawler_spark.functions.suffix import extract as suffix_extract
+
     in_cols = admitted.columns
     slim_names = [
         f.name for f in datagen.PAGES_SCHEMA.fields
@@ -126,13 +128,18 @@ def fetch_synthetic(
         + [
             T.StructField("payload_ok", T.BooleanType(), True),
             T.StructField("is_hit", T.BooleanType(), False),
+            # piggybacked on the fetch's Python stage so downstream facts
+            # / classification need NO extra Python stage per round:
+            T.StructField("tld", T.StringType(), True),
+            T.StructField("sld", T.StringType(), True),
+            T.StructField("qmin_fallback", T.StringType(), True),
         ]
     )
 
     def run(batches):
         for pdf in batches:
-            out_rows, ok = [], []
-            for url in pdf["url"]:
+            out_rows, ok, tlds, slds, qfb = [], [], [], [], []
+            for url, host in zip(pdf["url"], pdf["host"]):
                 i = _url_page_index(url)
                 if (
                     i is None
@@ -141,6 +148,9 @@ def fetch_synthetic(
                 ):
                     out_rows.append(None)
                     ok.append(None)
+                    tlds.append(None)
+                    slds.append(None)
+                    qfb.append(datagen.qmin_fallback_url(url, gen_seed))
                     continue
                 row = datagen.page_row(i, gen_seed, n_pages, n_hosts, px_scale)
                 if verify:
@@ -148,12 +158,23 @@ def fetch_synthetic(
                     ok.append(codecs.payload_ok(row["bytes"], ref))
                 else:
                     ok.append(True)
-                out_rows.append(row)
+                # keep ONLY the slim fields — the payload blob is freed
+                # row-by-row, never accumulated across the Arrow batch
+                # (a 65k-row batch of full rows is tens of GB at realistic
+                # image sizes; a real fetcher sinks blobs per URL too)
+                out_rows.append({k: row[k] for k in slim_names})
+                t, s = suffix_extract(host)
+                tlds.append(t)
+                slds.append(s)
+                qfb.append(None)
             res = pdf.copy()
             for name in slim_names:
                 res[name] = [r[name] if r else None for r in out_rows]
             res["payload_ok"] = ok
             res["is_hit"] = [r is not None for r in out_rows]
+            res["tld"] = tlds
+            res["sld"] = slds
+            res["qmin_fallback"] = qfb
             yield res
 
     return admitted.mapInPandas(run, schema)
@@ -219,13 +240,20 @@ def classify_misses(
     )
     terminal = labeled.filter(~F.col("fail_class").isin("retry", "qmin"))
 
-    from pyspark.sql.functions import pandas_udf
+    if "qmin_fallback" in misses.columns:
+        # precomputed inside the fetch's Python stage (synthetic mode):
+        # zero extra Python here
+        fallback_col = F.coalesce(F.col("qmin_fallback"), F.lit(""))
+    else:
+        from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf(T.StringType())
-    def fallback(url: pd.Series) -> pd.Series:
-        from dnscrawler_spark.datagen import qmin_fallback_url
+        @pandas_udf(T.StringType())
+        def fallback(url: pd.Series) -> pd.Series:
+            from dnscrawler_spark.datagen import qmin_fallback_url
 
-        return url.map(lambda u: qmin_fallback_url(u, gen_seed) or "")
+            return url.map(lambda u: qmin_fallback_url(u, gen_seed) or "")
+
+        fallback_col = fallback(F.col("url"))
 
     qmin = (
         labeled.filter(F.col("fail_class") == "qmin")
@@ -234,7 +262,7 @@ def classify_misses(
             F.col("url_key").alias("orig_url_key"),
             "seed",
             "depth",
-            fallback(F.col("url")).alias("url"),
+            fallback_col.alias("url"),
         )
         .filter(F.col("url") != "")
     )
@@ -358,21 +386,25 @@ def expand_candidates(
 def fetched_facts(fetched: DataFrame, round_no: int) -> DataFrame:
     """Typed fact rows from successful fetches (A1/A5): url (address
     analog), host (ns analog), tld, sld — with the ps_ prefix for
-    public-suffix-tree hosts (dnsresolver_new.py:203-204)."""
-    base = fetched.select(
-        "seed",
-        F.col("url"),
-        F.col("host"),
-        suffix_struct_col(F.col("host")).alias("sfx"),
-        is_ps_host_col(F.col("host")).alias("ps"),
-    ).select(
-        "seed",
-        "url",
-        "host",
-        F.col("sfx.tld").alias("tld"),
-        F.col("sfx.sld").alias("sld"),
-        "ps",
-    )
+    public-suffix-tree hosts (dnsresolver_new.py:203-204).
+
+    When the input already carries (tld, sld) — fetch_synthetic computes
+    them inside the fetch's Python stage — this is a pure projection;
+    otherwise the suffix facts come from the pure-Catalyst PSL
+    broadcast-join over the (small) distinct-host dimension (join-mode
+    fixtures, glue-resolved rows) — no Python stage either way."""
+    from dnscrawler_spark.functions.suffix import suffix_facts_for_hosts
+
+    if "tld" in fetched.columns and "sld" in fetched.columns:
+        base = fetched.select(
+            "seed", "url", "host", "tld", "sld",
+            is_ps_host_col(F.col("host")).alias("ps"),
+        )
+    else:
+        sfx = F.broadcast(suffix_facts_for_hosts(fetched.select("host")))
+        base = fetched.select(
+            "seed", "url", "host", is_ps_host_col(F.col("host")).alias("ps")
+        ).join(sfx, "host", "left")
     facts = base.select(
         "seed",
         "ps",

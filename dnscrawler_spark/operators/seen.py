@@ -88,6 +88,8 @@ MERGED_SCHEMA = T.StructType(
         T.StructField("is_stat", T.BooleanType(), False),
         T.StructField("shard_id", T.IntegerType(), True),
         T.StructField("n_items", T.LongType(), True),
+        T.StructField("n_dup_inserts", T.LongType(), True),
+        T.StructField("n_resolved_new", T.LongType(), True),
         T.StructField("degraded", T.BooleanType(), True),
         T.StructField("path", T.StringType(), True),
     ]
@@ -294,6 +296,9 @@ class SeenFilter:
         self.shard_paths = dict(shard_paths or {})
         self.key_files = list(key_files or [])
         self._persisted: list = []  # probe verdicts cached by filter_unseen
+        # set by insert_and_probe on the returned filter: per-pass stats
+        # (e.g. n_dup_inserts — already-seen keys re-offered for insert)
+        self.last_stats: dict = {}
 
     # -- manifest (de)serialization ---------------------------------------
     def to_manifest(self) -> dict:
@@ -446,12 +451,16 @@ class SeenFilter:
         round_no: int,
         key_col: str = "url_key",
         resolve_col=None,
+        tag: str = "",
     ):
         """One applyInPandas pass per round instead of two: each shard
         group inserts this round's keys (rewriting its npz + exact-key
         parquet, as ``insert`` does) and THEN probes the candidate keys
         against the updated shard — the exact sequential semantics of
         insert-then-probe, at half the shuffle/action cost.
+
+        ``tag`` distinguishes multiple passes within one round (the
+        two-wave sub-round writes its state under ``seen_r{N}-b``).
 
         ``resolve_col`` (optional): a boolean Column over ``probe_df``
         marking rows to PROBE-THEN-INSERT — the glue short-circuit
@@ -468,7 +477,7 @@ class SeenFilter:
         from the in-memory arrays). The single stats collect is the one
         action that materializes the whole pass.
         """
-        out_dir = os.path.join(self.state_dir, f"seen_r{round_no:06d}")
+        out_dir = os.path.join(self.state_dir, f"seen_r{round_no:06d}{tag}")
         keys_dir = os.path.join(out_dir, "keys.parquet")
         os.makedirs(keys_dir, exist_ok=True)
         paths = dict(self.shard_paths)
@@ -487,9 +496,16 @@ class SeenFilter:
                 else _Shard(n_bits, n_buckets, k)
             )
             new_path = prev or ""
+            n_dup = 0
             if ins.size:
                 ins = np.unique(ins)
+                before = len(ins)
                 ins = ins[~_already_seen(shard, ins, key_dirs, sid)]
+                # keys already seen (e.g. a leftover frontier row fetched
+                # after its url was glue-resolved): legitimately
+                # re-processed work, but NOT new seen entries — counted
+                # so the caller can reconcile processed-vs-seen exactly
+                n_dup = before - len(ins)
             if ins.size:
                 shard.bloom_insert(ins)
                 shard.cuckoo_insert(ins)
@@ -546,6 +562,13 @@ class SeenFilter:
             n_items = pd.arrays.IntegerArray(
                 np.full(n + 1, shard.n_items, dtype=np.int64), mask=na_tail.copy()
             )
+            n_dups = pd.arrays.IntegerArray(
+                np.full(n + 1, n_dup, dtype=np.int64), mask=na_tail.copy()
+            )
+            n_res = pd.arrays.IntegerArray(
+                np.full(n + 1, int(resolved_new.size), dtype=np.int64),
+                mask=na_tail.copy(),
+            )
             degraded = pd.arrays.BooleanArray(
                 np.full(n + 1, shard.degraded, dtype=bool), mask=na_tail.copy()
             )
@@ -557,6 +580,8 @@ class SeenFilter:
                     "is_stat": pd.array(na_head, dtype="boolean"),
                     "shard_id": pd.array(np.full(n + 1, sid, dtype=np.int32), dtype="Int32"),
                     "n_items": n_items,
+                    "n_dup_inserts": n_dups,
+                    "n_resolved_new": n_res,
                     "degraded": degraded,
                     "path": pd.array([new_path] + [pd.NA] * n, dtype="string"),
                 }
@@ -601,6 +626,10 @@ class SeenFilter:
             shard_paths=new_paths,
             key_files=self.key_files + ([keys_dir] if touched else []),
         )
+        new_filter.last_stats = {
+            "n_dup_inserts": sum(int(row["n_dup_inserts"] or 0) for row in stats),
+            "n_resolved_new": sum(int(row["n_resolved_new"] or 0) for row in stats),
+        }
         new_filter._persisted = self._persisted  # release() covers both
 
         # verdicts are already EXACT (suspects confirmed in-task against

@@ -98,9 +98,18 @@ class SnapshotStore:
         with open(os.path.join(self.snap_dir, f"snap_{round_no:06d}.json")) as f:
             return Snapshot.from_json(json.load(f))
 
-    def read_table(self, spark: SparkSession, snap: Snapshot, name: str) -> DataFrame | None:
+    def read_table(
+        self, spark: SparkSession, snap: Snapshot, name: str, schema=None
+    ) -> DataFrame | None:
+        """``schema``: pass the known StructType to skip the driver-side
+        parquet footer read Spark does for schema inference — the round
+        loop reads 3-4 tables per round and the footer round-trips are
+        pure fixed latency."""
         path = snap.tables.get(name)
-        return spark.read.parquet(path) if path else None
+        if not path:
+            return None
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        return reader.parquet(path)
 
     def history(self) -> list[int]:
         return sorted(

@@ -77,6 +77,18 @@ class CrawlConfig:
     # the budget has ALL its pending frontier rows demoted to the
     # terminal 'budget_exceeded' class. None = unlimited (no overhead).
     seed_budget: int | None = None
+    # two-wave zone-cut iteration (W3, dnsresolver_new.py:210 `for i in
+    # range(2)`): carry-band discoveries are fetched again within the
+    # same round against the remaining politeness budget. Opt-in — a
+    # wave-B sub-round roughly doubles per-round plan size.
+    two_wave: bool = False
+    # pipelined writes: the two output-only tables (fetched, facts) are
+    # written in background threads OVERLAPPED with the next round's
+    # compute; the manifest commits when they land (flushed before the
+    # next round's commit / by run() / by flush()). Durability lags one
+    # round — a crash replays at most two rounds instead of one. All
+    # metrics are observation-based and final before the round returns.
+    pipeline_writes: bool = False
 
 
 class CrawlEngine:
@@ -91,6 +103,10 @@ class CrawlEngine:
         self.cfg = cfg or CrawlConfig()
         self.store = SnapshotStore(root)
         self.root = root
+        # pipelined-write state: (futures, snapshot, frames-to-unpersist,
+        # seen-filter-to-release) of the newest uncommitted round
+        self._pending = None
+        self._write_pool: ThreadPoolExecutor | None = None
         if self.cfg.partitions is None:
             self.cfg.partitions = spark.sparkContext.defaultParallelism
         if self.cfg.fetch_mode == "synthetic":
@@ -152,7 +168,24 @@ class CrawlEngine:
             raise ValueError("no snapshot to run from — call start() first")
         while not snap.metrics.get("done") and snap.round < self.cfg.max_rounds:
             snap = self.run_round(snap)
+        self.flush()
         return snap
+
+    def flush(self) -> None:
+        """Wait for any pipelined writes and commit the pending manifest.
+        No-op unless cfg.pipeline_writes produced pending state. Callers
+        driving run_round() manually with pipelining on must flush before
+        handing the store to another engine (resume reads manifests)."""
+        if not self._pending:
+            return
+        futs, pnxt, unp, pseen = self._pending
+        self._pending = None
+        for name, fut in futs.items():
+            pnxt.tables[name] = fut.result()
+        self.store.commit(pnxt)
+        for df in unp:
+            df.unpersist()
+        pseen.release()
 
     # -- one round ------------------------------------------------------------
     def run_round(self, snap: Snapshot) -> Snapshot:
@@ -163,10 +196,19 @@ class CrawlEngine:
         spark, cfg, store = self.spark, self.cfg, self.store
         r = snap.round
         t0 = time.monotonic()
+        trace = os.environ.get("SPARK_GRAFT_ROUND_TRACE") == "1"
 
-        frontier = store.read_table(spark, snap, "frontier")
-        host_state = store.read_table(spark, snap, "host_state")
-        glue = store.read_table(spark, snap, "glue")
+        def tick(label, _last=[t0]):
+            if trace:
+                now = time.monotonic()
+                print(f"  [r{r}] {label}: +{now - _last[0]:.2f}s", flush=True)
+                _last[0] = now
+
+        from dnscrawler_spark.operators.frontier import FRONTIER_SCHEMA
+
+        frontier = store.read_table(spark, snap, "frontier", FRONTIER_SCHEMA)
+        host_state = store.read_table(spark, snap, "host_state", HOST_STATE_SCHEMA)
+        glue = store.read_table(spark, snap, "glue", X.GLUE_SCHEMA)
         if glue is None:
             glue = spark.createDataFrame([], X.GLUE_SCHEMA)
         seen = SeenFilter.from_manifest(snap.seen)
@@ -194,49 +236,69 @@ class CrawlEngine:
         # consumer re-runs the frontier read + both ranking windows
         admitted = admitted.persist()
         leftover = leftover.persist()
-        blocked = blocked.persist()
+        obs_blocked = Observation(f"blocked_r{r}")
+        blocked = blocked.observe(obs_blocked, F.count(F.lit(1)).alias("n")).persist()
 
-        enriched = None
-        if cfg.fetch_mode == "synthetic":
-            # fetch + payload verification fused: bytes stay in the stage;
-            # the enriched frame is persisted ONCE so the hit/miss split
-            # reads the cache instead of re-running the fetch per branch.
-            # Explicit fan-out first: AQE sizes partitions by BYTES, and a
-            # frontier row is ~200 B while fetching it costs ~1 ms of
-            # Python — size-based coalescing would run the whole fetch on
-            # 1-2 cores. Fixed-width repartition is exempt from AQE
-            # coalescing, guaranteeing one fetch slice per task slot.
-            fan_out = admitted.repartition(cfg.partitions * 2)
-            enriched = X.fetch_synthetic(
-                fan_out, cfg.gen_seed, cfg.n_pages, cfg.n_hosts, cfg.px_scale,
-                verify=cfg.verify_payloads,
+        def run_fetch(adm, obs):
+            """Fetch + verify one admitted wave; returns (fetched persisted
+            with the count/bad observation attached, misses, enriched-cache
+            handle or None)."""
+            if cfg.fetch_mode == "synthetic":
+                # fetch + payload verification fused: bytes stay in the
+                # stage; the enriched frame is persisted ONCE so the
+                # hit/miss split reads the cache instead of re-running the
+                # fetch per branch. Explicit fan-out first: AQE sizes
+                # partitions by BYTES, and a frontier row is ~200 B while
+                # fetching it costs ~1 ms of Python — size-based coalescing
+                # would run the whole fetch on 1-2 cores. Fixed-width
+                # repartition is exempt from AQE coalescing, guaranteeing
+                # one fetch slice per task slot.
+                fan_out = adm.repartition(cfg.partitions * 2)
+                enr = X.fetch_synthetic(
+                    fan_out, cfg.gen_seed, cfg.n_pages, cfg.n_hosts, cfg.px_scale,
+                    verify=cfg.verify_payloads,
+                ).persist()
+                f = enr.filter(F.col("is_hit")).drop("is_hit", "qmin_fallback")
+                m = enr.filter(~F.col("is_hit")).select(
+                    *FRONTIER_COLS, "qmin_fallback"
+                )
+                has_ok = True
+            else:
+                f, m = X.fetch(adm, self.pages_keyed)
+                if cfg.verify_payloads:
+                    f = X.verify_payloads(f, cfg.gen_seed, cfg.px_scale)
+                has_ok = cfg.verify_payloads
+                enr = None
+            f = f.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                (
+                    F.sum((~F.col("payload_ok")).cast("long")) if has_ok else F.lit(0)
+                ).alias("bad"),
             ).persist()
-            fetched = enriched.filter(F.col("is_hit")).drop("is_hit")
-            misses = enriched.filter(~F.col("is_hit")).select(*FRONTIER_COLS)
-            has_ok = True
-        else:
-            fetched, misses = X.fetch(admitted, self.pages_keyed)
-            if cfg.verify_payloads:
-                fetched = X.verify_payloads(fetched, cfg.gen_seed, cfg.px_scale)
-            has_ok = cfg.verify_payloads
+            return f, m, enr
+
         obs_fetched = Observation(f"fetched_r{r}")
-        fetched = fetched.observe(
-            obs_fetched,
-            F.count(F.lit(1)).alias("n"),
-            (
-                F.sum((~F.col("payload_ok")).cast("long")) if has_ok else F.lit(0)
-            ).alias("bad"),
-        ).persist()
+        fetched, misses, enriched = run_fetch(admitted, obs_fetched)
         retries, terminal, qmin = X.classify_misses(misses, cfg.gen_seed)
+        # count observations attach to the source frames, NOT the facts
+        # write: they fire during the fused pass (whose seen_keys union
+        # materializes these frames), so every metric is known before any
+        # output-table write — a requirement for pipelined writes
+        obs_term = Observation(f"term_r{r}")
+        obs_qmin = Observation(f"qmin_r{r}")
         retries = retries.persist()
-        terminal = terminal.persist()
-        qmin = qmin.persist()
+        terminal = terminal.observe(obs_term, F.count(F.lit(1)).alias("n")).persist()
+        qmin = qmin.observe(obs_qmin, F.count(F.lit(1)).alias("n")).persist()
 
         glue2 = glue.union(X.new_glue(fetched)).distinct().persist()
+        # candidates has 3 consumers (the fused pass's tagged union, the
+        # unseen semi-join, the resolved semi-join) — persist so the
+        # expansion explode+groupBy shuffle runs once per round, not 3x
         candidates = X.expand_candidates(
             fetched, glue2, cfg.n_salts, r + 1, cfg.glue_broadcast,
             extra_edges=qmin,
-        )
+        ).persist()
 
         seen_keys = (
             fetched.select("url_key")
@@ -254,31 +316,105 @@ class CrawlEngine:
         # 125-126): an unseen glue hit is resolved from the glue payload
         # — facts now, seen now, never fetched. The stats collect is also
         # the action that materializes the fetched/blocked caches.
+        tick("plan")
         seen2, unseen, glue_resolved = seen.insert_and_probe(
             seen_keys, candidates, r, resolve_col=F.col("reason") == "glue"
         )
+        tick("fused-pass collect (fetch+dedup materialized)")
         unseen = unseen.persist()
         glue_resolved = glue_resolved.persist()
         inflight = leftover.select("url_key").union(retries.select("url_key"))
         nonhaz = unseen.join(inflight, "url_key", "left_semi")
         new_rows = unseen.join(inflight, "url_key", "left_anti")
 
-        # per-branch observations all fire during the single frontier write
-        obs_left = Observation(f"left_r{r}")
-        obs_retry = Observation(f"retry_r{r}")
-        obs_new = Observation(f"new_r{r}")
+        # ---- wave B (W3, dnsresolver_new.py:210 `for i in range(2)`):
+        # the freshly learned zone-cut set (carry-band discoveries) is
+        # fetched again within the SAME round against the remaining
+        # politeness budget. Opt-in (cfg.two_wave); wave-A-only otherwise.
+        wave_b = None
+        seen_final, host_state_final, glue_final = seen2, host_state2, glue2
+        if cfg.two_wave:
+            # localCheckpoint = the wave boundary: materializes the wave-A
+            # verdicts AND truncates their lineage, so wave-B plans start
+            # from a leaf instead of stacking on the whole wave-A tree
+            # (unchecked, the doubled plan OOMs the driver's plan-string
+            # rendering and slows planning quadratically over rounds)
+            new_rows = new_rows.localCheckpoint()
+            carry_rows = new_rows.filter(F.col("reason") == "carry")
+            rest = new_rows.filter(F.col("reason") != "carry")
+            admitted_b, leftover_b, blocked_b, host_state_final = pol.admit(
+                repartition_by_host(carry_rows), host_state2, r
+            )
+            admitted_b = admitted_b.persist()
+            leftover_b = leftover_b.persist()
+            obs_fetched_b = Observation(f"fetched_b_r{r}")
+            fetched_b, misses_b, enriched_b = run_fetch(admitted_b, obs_fetched_b)
+            retries_b, terminal_b, qmin_b = X.classify_misses(misses_b, cfg.gen_seed)
+            obs_term_b = Observation(f"term_b_r{r}")
+            obs_qmin_b = Observation(f"qmin_b_r{r}")
+            obs_blocked_b = Observation(f"blocked_b_r{r}")
+            blocked_b = blocked_b.observe(
+                obs_blocked_b, F.count(F.lit(1)).alias("n")
+            ).persist()
+            retries_b = retries_b.persist()
+            terminal_b = terminal_b.observe(
+                obs_term_b, F.count(F.lit(1)).alias("n")
+            ).persist()
+            qmin_b = qmin_b.observe(obs_qmin_b, F.count(F.lit(1)).alias("n")).persist()
+            glue_final = glue2.union(X.new_glue(fetched_b)).distinct().persist()
+            candidates_b = X.expand_candidates(
+                fetched_b, glue_final, cfg.n_salts, r + 1, cfg.glue_broadcast,
+                extra_edges=qmin_b,
+            ).persist()
+            seen_keys_b = (
+                fetched_b.select("url_key")
+                .union(terminal_b.select("url_key"))
+                .union(blocked_b.select("url_key"))
+                .union(qmin_b.select(F.col("orig_url_key").alias("url_key")))
+            )
+            seen_final, unseen_b, glue_resolved_b = seen2.insert_and_probe(
+                seen_keys_b, candidates_b, r,
+                resolve_col=F.col("reason") == "glue", tag="-b",
+            )
+            unseen_b = unseen_b.persist()
+            glue_resolved_b = glue_resolved_b.persist()
+            inflight2 = (
+                inflight.union(rest.select("url_key"))
+                .union(leftover_b.select("url_key"))
+                .union(retries_b.select("url_key"))
+            )
+            nonhaz_b = unseen_b.join(inflight2, "url_key", "left_semi")
+            new_b = unseen_b.join(inflight2, "url_key", "left_anti")
+            wave_b = {
+                "admitted": admitted_b, "leftover": leftover_b,
+                "blocked": blocked_b, "fetched": fetched_b,
+                "retries": retries_b, "terminal": terminal_b,
+                "qmin": qmin_b, "candidates": candidates_b,
+                "unseen": unseen_b, "glue_resolved": glue_resolved_b,
+                "nonhaz": nonhaz_b, "new": new_b, "enriched": enriched_b,
+                "obs_fetched": obs_fetched_b, "obs_term": obs_term_b,
+                "obs_qmin": obs_qmin_b, "obs_blocked": obs_blocked_b,
+            }
 
+        # per-branch observations all fire during the single frontier write
         def bump(df, obs):
             out = df.withColumn("round", F.lit(r + 1)).select(*FRONTIER_COLS)
             return out.observe(obs, F.count(F.lit(1)).alias("n"))
 
-        frontier2 = (
-            bump(leftover, obs_left)
-            .union(bump(retries, obs_retry))
-            .union(bump(new_rows, obs_new))
-        )
+        if wave_b is None:
+            branches = [("left", leftover), ("retry", retries), ("new", new_rows)]
+        else:
+            branches = [
+                ("left", leftover), ("retry", retries), ("rest", rest),
+                ("left_b", wave_b["leftover"]), ("retry_b", wave_b["retries"]),
+                ("new_b", wave_b["new"]),
+            ]
+        branch_obs = {name: Observation(f"{name}_r{r}") for name, _ in branches}
+        frontier2 = None
+        for name, df in branches:
+            piece = bump(df, branch_obs[name])
+            frontier2 = piece if frontier2 is None else frontier2.union(piece)
 
-        obs_facts = Observation(f"facts_r{r}")
         facts = (
             X.fetched_facts(fetched, r)
             .union(X.fetched_facts(glue_resolved, r))  # glue payload facts
@@ -293,17 +429,23 @@ class CrawlEngine:
                 )
             )
         )
+        if wave_b is not None:
+            facts = (
+                facts.union(X.fetched_facts(wave_b["fetched"], r))
+                .union(X.fetched_facts(wave_b["glue_resolved"], r))
+                .union(X.simple_facts(wave_b["glue_resolved"], "glue_resolved", r))
+                .union(X.failure_facts(wave_b["terminal"], r))
+                .union(X.simple_facts(wave_b["nonhaz"], "nonhazardous", r))
+                .union(X.simple_facts(wave_b["blocked"], "robots_blocked", r))
+                .union(
+                    X.simple_facts(
+                        wave_b["qmin"].select("seed", F.col("orig_url").alias("url")),
+                        "qmin_requery", r,
+                    )
+                )
+            )
         if over_budget is not None:
             facts = facts.union(X.simple_facts(over_budget, "budget_exceeded", r))
-        facts = facts.observe(
-            obs_facts,
-            F.sum(
-                F.col("kind").isin("hazardous", "ip_ns_records", "missing_ns_records").cast("long")
-            ).alias("n_terminal"),
-            F.sum((F.col("kind") == "robots_blocked").cast("long")).alias("n_blocked"),
-            F.sum((F.col("kind") == "glue_resolved").cast("long")).alias("n_glue"),
-            F.sum((F.col("kind") == "qmin_requery").cast("long")).alias("n_qmin"),
-        )
 
         # ---- parallel snapshot writes ---------------------------------------
         nxt = Snapshot(
@@ -312,6 +454,12 @@ class CrawlEngine:
             round=r + 1,
         )
         fetched_slim = fetched.drop("bytes", "out_edges", "glue_edges", "carry_edges")
+        if wave_b is not None:
+            fetched_slim = fetched_slim.unionByName(
+                wave_b["fetched"].drop(
+                    "bytes", "out_edges", "glue_edges", "carry_edges"
+                )
+            )
         # phase A: writes independent of the dedup verdict; phase B shares
         # the (now materialized) unseen cache — two parallel job waves,
         # no duplicate computation of the persisted intermediates
@@ -320,16 +468,19 @@ class CrawlEngine:
         # 64 file commits per round, and 64 footer reads next round)
         n_small = max(1, cfg.partitions // 8)
         phase_a = {
-            "host_state": host_state2.coalesce(n_small),
-            "glue": glue2.coalesce(n_small),
+            "host_state": host_state_final.coalesce(n_small),
+            "glue": glue_final.coalesce(n_small),
             "fetched": fetched_slim,
         }
         if cfg.seed_budget is not None:
             # cumulative per-seed fetch counts (budget state for the NEXT
             # round's exhaustion check — round-granular by design)
+            fetched_seeds = fetched.select("seed")
+            if wave_b is not None:
+                fetched_seeds = fetched_seeds.union(wave_b["fetched"].select("seed"))
             seed_state2 = (
                 seed_state.unionByName(
-                    fetched.groupBy("seed").agg(
+                    fetched_seeds.groupBy("seed").agg(
                         F.count(F.lit(1)).cast("long").alias("n_fetched")
                     )
                 )
@@ -337,31 +488,72 @@ class CrawlEngine:
                 .agg(F.sum("n_fetched").alias("n_fetched"))
             )
             phase_a["seed_state"] = seed_state2.coalesce(n_small)
-        phase_b = {"frontier": frontier2, "facts": facts}
-        with ThreadPoolExecutor(max_workers=4) as ex:
-            futs = {
-                name: ex.submit(store.write_table, df, r + 1, name)
-                for name, df in phase_a.items()
+        # Write scheduling: phase-A tables (independent of the dedup
+        # verdict) run concurrently in worker threads while THIS thread
+        # writes the frontier — the frontier job is what materializes
+        # the persisted `unseen` frame (new_rows reads it), so when the
+        # facts write (whose nonhaz branch shares `unseen`) is submitted
+        # right after, it reads the warm cache instead of recomputing.
+        # No standalone count() job anywhere in the round.
+        pending_futs = None
+        if cfg.pipeline_writes:
+            # sync: only what the NEXT round reads (frontier + the small
+            # dims); the two big output-only tables ride background
+            # threads overlapped with the next round's compute
+            sync_small = {k: v for k, v in phase_a.items() if k != "fetched"}
+            with ThreadPoolExecutor(max_workers=3) as ex:
+                futs = {
+                    name: ex.submit(store.write_table, df, r + 1, name)
+                    for name, df in sync_small.items()
+                }
+                nxt.tables["frontier"] = store.write_table(frontier2, r + 1, "frontier")
+                tick("frontier write")
+                for name, fut in futs.items():
+                    nxt.tables[name] = fut.result()
+            if self._write_pool is None:
+                self._write_pool = ThreadPoolExecutor(max_workers=2)
+            pending_futs = {
+                "fetched": self._write_pool.submit(
+                    store.write_table, phase_a["fetched"], r + 1, "fetched"
+                ),
+                "facts": self._write_pool.submit(
+                    store.write_table, facts, r + 1, "facts"
+                ),
             }
-            unseen.count()  # warm the unseen cache before phase B shares it
-            for name, fut in futs.items():
-                nxt.tables[name] = fut.result()
-            futs = {
-                name: ex.submit(store.write_table, df, r + 1, name)
-                for name, df in phase_b.items()
-            }
-            for name, fut in futs.items():
-                nxt.tables[name] = fut.result()
-        nxt.seen = seen2.to_manifest()
+        else:
+            with ThreadPoolExecutor(max_workers=4) as ex:
+                futs = {
+                    name: ex.submit(store.write_table, df, r + 1, name)
+                    for name, df in phase_a.items()
+                }
+                nxt.tables["frontier"] = store.write_table(frontier2, r + 1, "frontier")
+                tick("frontier write")
+                futs["facts"] = ex.submit(store.write_table, facts, r + 1, "facts")
+                for name, fut in futs.items():
+                    nxt.tables[name] = fut.result()
+        tick("all writes joined")
+        nxt.seen = seen_final.to_manifest()
 
-        n_left = int(obs_left.get["n"])
-        n_retry = int(obs_retry.get["n"])
-        n_new = int(obs_new.get["n"])
+        branch_n = {name: int(o.get["n"]) for name, o in branch_obs.items()}
+        n_left = branch_n["left"] + branch_n.get("left_b", 0)
+        n_retry = branch_n["retry"] + branch_n.get("retry_b", 0)
+        n_new = branch_n.get("new", 0) + branch_n.get("rest", 0) + branch_n.get("new_b", 0)
         n_fetched = int(obs_fetched.get["n"])
-        n_terminal = int(obs_facts.get["n_terminal"] or 0)
-        n_blocked = int(obs_facts.get["n_blocked"] or 0)
-        n_qmin = int(obs_facts.get["n_qmin"] or 0)
-        n_frontier2 = n_left + n_retry + n_new
+        n_bad = int(obs_fetched.get["bad"] or 0)
+        n_terminal = int(obs_term.get["n"])
+        n_blocked = int(obs_blocked.get["n"])
+        n_qmin = int(obs_qmin.get["n"])
+        n_glue = seen2.last_stats.get("n_resolved_new", 0)
+        n_dups = seen2.last_stats.get("n_dup_inserts", 0)
+        if wave_b is not None:
+            n_fetched += int(wave_b["obs_fetched"].get["n"])
+            n_bad += int(wave_b["obs_fetched"].get["bad"] or 0)
+            n_terminal += int(wave_b["obs_term"].get["n"])
+            n_blocked += int(wave_b["obs_blocked"].get["n"])
+            n_qmin += int(wave_b["obs_qmin"].get["n"])
+            n_glue += seen_final.last_stats.get("n_resolved_new", 0)
+            n_dups += seen_final.last_stats.get("n_dup_inserts", 0)
+        n_frontier2 = sum(branch_n.values())
         lineage = []
         if cfg.collect_lineage:
             lineage = [
@@ -381,24 +573,47 @@ class CrawlEngine:
             "n_retry": n_retry,
             "n_terminal": n_terminal,
             "n_new": n_new,
-            "n_glue_resolved": int(obs_facts.get["n_glue"] or 0),
+            "n_glue_resolved": n_glue,
+            # re-processed urls (fetched after an earlier glue-resolve):
+            # work done twice on one url — seen-set reconciliation needs it
+            "n_dup_inserts": n_dups,
             "n_frontier_next": n_frontier2,
-            "n_bad_payloads": int(obs_fetched.get["bad"] or 0),
+            "n_bad_payloads": n_bad,
             "wall_ms": round((time.monotonic() - t0) * 1e3, 1),
             "done": n_frontier2 == 0,
         }
-        store.commit(nxt)
-
-        for df in (
+        to_unpersist = [
             admitted, leftover, blocked, fetched, retries, terminal, qmin,
-            glue2, unseen, glue_resolved,
-        ):
-            df.unpersist()
+            glue2, candidates, unseen, glue_resolved,
+        ]
+        if wave_b is not None:
+            to_unpersist += [
+                glue_final,
+                wave_b["admitted"], wave_b["leftover"], wave_b["blocked"],
+                wave_b["fetched"], wave_b["retries"], wave_b["terminal"],
+                wave_b["qmin"], wave_b["candidates"], wave_b["unseen"],
+                wave_b["glue_resolved"],
+            ]
+            if wave_b["enriched"] is not None:
+                to_unpersist.append(wave_b["enriched"])
         if over_budget is not None:
-            over_budget.unpersist()
+            to_unpersist.append(over_budget)
         if enriched is not None:
-            enriched.unpersist()
-        seen2.release()
+            to_unpersist.append(enriched)
+
+        if pending_futs is None:
+            store.commit(nxt)
+            tick("metrics+commit")
+            for df in to_unpersist:
+                df.unpersist()
+            seen_final.release()
+        else:
+            # commit the PREVIOUS round (its background writes have had a
+            # whole round to finish), then park this one — ordering keeps
+            # manifests monotonic; durability lags exactly one round
+            self.flush()
+            self._pending = (pending_futs, nxt, to_unpersist, seen_final)
+            tick("metrics+pipeline park")
         return nxt
 
     # -- outputs ------------------------------------------------------------

@@ -66,7 +66,7 @@ for rr in range(3):
     mark("fetch+verify", t0)
 
     t0 = time.monotonic()
-    retries, terminal = X.classify_misses(misses)
+    retries, terminal, qmin = X.classify_misses(misses)
     retries = retries.persist(); terminal = terminal.persist()
     retries.count(); terminal.count()
     mark("classify", t0)
@@ -82,7 +82,7 @@ for rr in range(3):
     mark("seen_insert", t0)
 
     t0 = time.monotonic()
-    candidates = X.expand_candidates(fetched, glue2, cfg.n_salts, r + 1, True)
+    candidates = X.expand_candidates(fetched, glue2, cfg.n_salts, r + 1, True, extra_edges=qmin)
     unseen = seen2.filter_unseen(candidates).persist()
     n_unseen = unseen.count()
     mark("expand+probe", t0)

@@ -241,3 +241,67 @@ def test_seed_budget_parity(spark, tmp_path_factory, corpus):
     for seed, kinds in ores.facts.items():
         want = sorted(kinds.get("budget_exceeded", set()))
         assert list(results[seed]["budget_exceeded"]) == want
+
+
+def test_two_wave_parity(spark, tmp_path_factory, corpus):
+    """W3 (two-wave zone-cut): with two_wave on, carry-band discoveries
+    are fetched within the same round on BOTH sides — full seen/trace/
+    facts parity, and the sub-round actually fires (some page is fetched
+    one round earlier than in the single-wave crawl)."""
+    root = str(tmp_path_factory.mktemp("twowave"))
+    ores = oracle.crawl(
+        corpus, datagen.seed_urls(N_SEEDS, N, seed=SEED),
+        max_rounds=MAX_ROUNDS, two_wave=True,
+    )
+    ores1 = oracle.crawl(
+        corpus, datagen.seed_urls(N_SEEDS, N, seed=SEED), max_rounds=MAX_ROUNDS,
+    )
+    pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
+    hs = datagen.generate_host_state(pages)
+    cfg = CrawlConfig(
+        max_rounds=MAX_ROUNDS, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
+        partitions=4, two_wave=True,
+    )
+    eng = CrawlEngine(spark, pages, root, cfg)
+    snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
+    final = eng.run(snap)
+    assert {r["url"] for r in eng.seen_urls(final).collect()} == ores.seen
+    assert eng.crawl_trace(final) == ores.trace
+    # the wave-B sub-round must actually fire in this fixture
+    earliest1 = {}
+    for rr, u in ores1.trace:
+        earliest1.setdefault(u, rr)
+    moved = [u for rr, u in ores.trace if u in earliest1 and rr < earliest1[u]]
+    assert moved, "two-wave must fetch some carry target a round earlier"
+    results = {r["seed"]: r for r in eng.results(final).collect()}
+    assert set(results) == set(ores.facts)
+    for seed, kinds in ores.facts.items():
+        for kind in FACT_KINDS:
+            want = sorted(kinds.get(kind, set()))
+            got = list(results[seed][kind])
+            assert got == want, f"{seed} {kind}"
+
+
+def test_pipelined_writes_parity(spark, tmp_path_factory, oracle_result):
+    """pipeline_writes=True (fetched/facts writes overlap the next round)
+    must not change ANY output: seen/trace/facts parity, and a fresh
+    engine can resume from the flushed store."""
+    root = str(tmp_path_factory.mktemp("pipelined"))
+    pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
+    hs = datagen.generate_host_state(pages)
+    cfg = CrawlConfig(
+        max_rounds=MAX_ROUNDS, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
+        partitions=4, pipeline_writes=True,
+    )
+    eng = CrawlEngine(spark, pages, root, cfg)
+    snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
+    final = eng.run(snap)  # run() flushes pending writes
+    assert {r["url"] for r in eng.seen_urls(final).collect()} == oracle_result.seen
+    assert eng.crawl_trace(final) == oracle_result.trace
+    results = {r["seed"]: r for r in eng.results(final).collect()}
+    for seed, kinds in oracle_result.facts.items():
+        for kind in FACT_KINDS:
+            assert list(results[seed][kind]) == sorted(kinds.get(kind, set()))
+    # flushed store is resumable by a fresh engine
+    eng2 = CrawlEngine(spark, pages, root, cfg)
+    assert eng2.resume().round == final.round
