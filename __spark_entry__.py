@@ -441,11 +441,27 @@ def _fixture_crawl(spark):
 
 
 def q_crawl_results(spark, sf):
-    # the flagship end-to-end: a full crawl on the fixture corpus, one
-    # row per seed with sorted fact arrays (domain_dict analog,
-    # dnsresolver_new.py:280-298). Rows-only here; exact oracle parity
-    # is asserted in tests/test_crawl_parity.py.
-    eng, final, _ = _fixture_crawl(spark)
+    """The flagship end-to-end: a full crawl on the fixture corpus, one
+    row per seed with sorted fact arrays (domain_dict analog,
+    dnsresolver_new.py:280-298). The DuckDB twin re-pivots the fact rows
+    the independent pure-Python oracle crawler produced for the same
+    corpus + seeds (dumped here) — the driver's hash compare IS the
+    engine-vs-oracle per-seed facts parity check."""
+    import os
+
+    import pandas as pd
+
+    eng, final, ores = _fixture_crawl(spark)
+    os.makedirs(_ORACLE_DUMP_DIR, exist_ok=True)
+    rows = [
+        (seed, kind, v)
+        for seed, kinds in ores.facts.items()
+        for kind, vals in kinds.items()
+        for v in vals
+    ]
+    pd.DataFrame(rows, columns=["seed", "kind", "value"]).to_parquet(
+        os.path.join(_ORACLE_DUMP_DIR, "facts_oracle.parquet"), index=False
+    )
     res = eng.results(final).drop("misconfigured")  # map covered by
     # crawl_failure_detail (hash-checked); arrays joined for stable hashing
     arr_cols = [c for c in res.columns if c != "seed"]
@@ -489,6 +505,85 @@ def q_crawl_failure_detail(spark, sf):
         F.col("it.round").cast("long").alias("round"),
         F.col("it.attempts").cast("long").alias("attempts"),
     )
+
+
+_FIXTURE_STRAT_CACHE: dict[int, tuple] = {}
+
+
+def _fixture_crawl_stratified(spark):
+    """Fixture crawl with the stratified (hot/cold) frontier — the
+    10^10-scale mode (operators/stratified.py): politeness ranks only
+    the hot horizon, the backlog is append-only cold deltas, the
+    in-flight cycle break runs through the fused ever-enqueued exact
+    filter. Admission must still be bit-identical to the oracle."""
+    key = id(spark)
+    if key in _FIXTURE_STRAT_CACHE:
+        return _FIXTURE_STRAT_CACHE[key]
+    import tempfile
+
+    from dnscrawler_spark import datagen
+    from dnscrawler_spark.oracle import crawler as oracle_crawler
+    from dnscrawler_spark.streaming.rounds import CrawlConfig, CrawlEngine
+
+    n = 240
+    cfg = CrawlConfig(
+        max_rounds=8, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
+        partitions=4, fetch_mode="synthetic", n_pages=n, collect_lineage=False,
+        stratified=True,
+    )
+    hs = datagen.generate_host_state_synthetic(spark, datagen.default_n_hosts(n))
+    eng = CrawlEngine(spark, None, tempfile.mkdtemp(prefix="q_strat_"), cfg)
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        snap = eng.start(datagen.seed_urls(5, n, seed=42), hs)
+        final = eng.run(snap)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", shuf)
+    n_hosts = datagen.default_n_hosts(n)
+    corpus = [datagen.page_row(i, 42, n, n_hosts) for i in range(n)]
+    ores = oracle_crawler.crawl(corpus, datagen.seed_urls(5, n, seed=42), max_rounds=8)
+    _FIXTURE_STRAT_CACHE[key] = (eng, final, ores)
+    return _FIXTURE_STRAT_CACHE[key]
+
+
+def q_crawl_stratified_trace(spark, sf):
+    """Stratified-frontier crawl ORDER parity, row-exact: every fetched
+    (round, host, priority, depth, url) from the stratified engine run
+    vs the oracle's trace (dumped to parquet for the DuckDB twin). A
+    hash match here means the hot/cold split + deficit replenish made
+    the EXACT admission decisions the full-queue oracle makes."""
+    import os
+    from functools import reduce
+
+    import pandas as pd
+
+    eng, final, ores = _fixture_crawl_stratified(spark)
+    os.makedirs(_ORACLE_DUMP_DIR, exist_ok=True)
+    pd.DataFrame(
+        ores.trace_full, columns=["round", "host", "priority", "depth", "url"]
+    ).astype({"round": "int64", "priority": "int64", "depth": "int64"}).to_parquet(
+        os.path.join(_ORACLE_DUMP_DIR, "strat_trace_oracle.parquet"), index=False
+    )
+    parts = []
+    for rr in eng.store.history():
+        if 0 < rr <= final.round:
+            s = eng.store.load(rr)
+            if "fetched" in s.tables:
+                parts.append(
+                    spark.read.parquet(s.tables["fetched"]).select(
+                        F.lit(rr - 1).cast("long").alias("round"),
+                        "host",
+                        F.col("priority").cast("long").alias("priority"),
+                        F.col("depth").cast("long").alias("depth"),
+                        "url",
+                    )
+                )
+    out = reduce(lambda a, b: a.union(b), parts)
+    return out.orderBy("round", "host", "priority", "depth", "url")
 
 
 def q_sim_cosine_topk(spark, sf):
@@ -548,12 +643,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": q_mm_frame_sample,
         "crawl_results": q_crawl_results,
         "crawl_failure_detail": q_crawl_failure_detail,
+        "crawl_stratified_trace": q_crawl_stratified_trace,
     }
 
 
 # --------------------------------------------------------------------------
 # DuckDB oracle SQL (identical column names + rounding)
 # --------------------------------------------------------------------------
+
+
+def _crawl_results_sql() -> str:
+    """Pivot the dumped oracle fact rows into one row per seed with
+    '|'-joined sorted value lists per fact kind — the exact shape
+    q_crawl_results returns for the engine run."""
+    from dnscrawler_spark.streaming.rounds import FACT_KINDS
+
+    cols = ",\n                   ".join(
+        f"coalesce(string_agg(value, '|' ORDER BY value) "
+        f"FILTER (WHERE kind = '{k}'), '') AS {k}"
+        for k in FACT_KINDS
+    )
+    return f"""
+            SELECT seed,
+                   {cols}
+            FROM read_parquet('/tmp/dnscrawler_spark_probe/facts_oracle.parquet')
+            GROUP BY seed ORDER BY seed
+        """
 
 _SHINGLE_CTE = f"""
 words AS (
@@ -811,6 +926,15 @@ def oracle_sql() -> dict[str, str]:
         "crawl_failure_detail": """
             SELECT seed, fail_class, url, round, attempts
             FROM read_parquet('/tmp/dnscrawler_spark_probe/failure_detail_oracle.parquet')
+        """,
+        # engine-vs-oracle per-seed facts parity (NOTES_r2 #3): re-pivot
+        # the dumped oracle fact rows into the same seed × kind arrays
+        "crawl_results": _crawl_results_sql(),
+        # stratified-frontier crawl order, row-exact vs the oracle trace
+        "crawl_stratified_trace": """
+            SELECT round, host, priority, depth, url
+            FROM read_parquet('/tmp/dnscrawler_spark_probe/strat_trace_oracle.parquet')
+            ORDER BY round, host, priority, depth, url
         """,
         "sim_cosine_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -46,6 +46,10 @@ N_SEEDS = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "150000"))
 MAX_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "4"))
 PX_SCALE = int(os.environ.get("SPARK_GRAFT_BENCH_PX", "6"))
 RATE_SCALE = float(os.environ.get("SPARK_GRAFT_BENCH_RATE", "2000"))
+# stratified (hot/cold) frontier — the 10^10-scale mode; outputs are
+# bit-identical to classic (tests/test_stratified.py), so the knob only
+# changes which frontier machinery the headline job exercises
+STRATIFIED = os.environ.get("SPARK_GRAFT_BENCH_STRATIFIED", "0") == "1"
 GEN_SEED = 42
 
 
@@ -120,6 +124,7 @@ def run_crawl(spark) -> dict:
             n_pages=N_PAGES,
             n_hosts=n_hosts,
             pipeline_writes=True,  # fetched/facts writes overlap next round
+            stratified=STRATIFIED,
         )
         eng = CrawlEngine(spark, None, root, cfg)
         # seed set built distributed — never transits the driver
@@ -141,6 +146,7 @@ def run_crawl(spark) -> dict:
                 collect_lineage=False, verify_payloads=True,
                 fetch_mode="synthetic", px_scale=PX_SCALE,
                 n_pages=N_PAGES, n_hosts=n_hosts, pipeline_writes=True,
+                stratified=STRATIFIED,
             )
             weng = CrawlEngine(spark, None, wroot, wcfg)
             wseeds = datagen.seed_urls_df(spark, 500, N_PAGES, seed=GEN_SEED + 1)
@@ -193,6 +199,7 @@ def run_crawl(spark) -> dict:
             "wall_sec": round(wall, 3),
             "urls_per_sec": round(urls / wall, 1),
             "cpus": _cpus(),
+            "stratified": STRATIFIED,
         }
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)

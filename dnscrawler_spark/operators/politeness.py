@@ -32,6 +32,22 @@ from dnscrawler_spark.functions.canon import path_col
 ORDER_COLS = ("priority", "depth", "url")
 
 
+def robots_block_pred():
+    """Robots disallow predicate over rows that carry (url,
+    robots_fetched, robots_disallow) — null-safe (hosts without policy
+    are never blocked). Shared by admit() and the stratified frontier's
+    robots-at-enqueue gate (same decision, made once per row)."""
+    raw = (
+        F.col("robots_fetched")
+        & (F.size("robots_disallow") > 0)
+        & F.exists(
+            "robots_disallow",
+            lambda p: path_col(F.col("url")).startswith(p),
+        )
+    )
+    return F.coalesce(raw, F.lit(False))
+
+
 def refill(host_state: DataFrame, round_no: int) -> DataFrame:
     """tokens ← min(burst, tokens + rate) once per round (idempotent:
     a host already refilled at ``round_no`` is left alone — resume
@@ -70,16 +86,9 @@ def admit(
     # hosts absent from host_state (dead-edge hosts can be): default budget 1/round
     fr = fr.withColumn("budget", F.floor(F.coalesce(F.col("tokens"), F.lit(1.0))).cast("int"))
 
-    blocked_pred = (
-        F.col("robots_fetched")
-        & (F.size("robots_disallow") > 0)
-        & F.exists(
-            "robots_disallow",
-            lambda p: path_col(F.col("url")).startswith(p),
-        )
-    )
-    blocked = fr.filter(F.coalesce(blocked_pred, F.lit(False)))
-    candid = fr.filter(~F.coalesce(blocked_pred, F.lit(False)))
+    blocked_pred = robots_block_pred()
+    blocked = fr.filter(blocked_pred)
+    candid = fr.filter(~blocked_pred)
 
     # phase 1: per-(host, salt) prune to the per-salt top-budget.
     # The frontier arrives repartitioned by (host, salt), so this window

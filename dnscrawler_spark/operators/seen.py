@@ -80,11 +80,20 @@ INSERT_STATS_SCHEMA = T.StructType(
 # the glue short-circuit — an unseen resolve key is marked seen in the
 # same pass, because its resolution comes from the glue payload, not a
 # fetch; dnsresolver_new.py:125-126)
+# With an ``enqueue`` filter fused in (stratified frontier), role-1
+# unseen rows additionally carry ``inflight`` (exact membership in the
+# ever-enqueued set E — the distributed in-flight cycle-break, P11,
+# replacing the full-backlog union) and ``blocked`` (robots-gated at
+# enqueue: the key was inserted into SEEN in this pass and must never
+# enter the frontier); stat rows carry the enqueued shard's new npz
+# path + item count.
 MERGED_SCHEMA = T.StructType(
     [
         T.StructField("url_key", T.LongType(), True),
         T.StructField("seen", T.BooleanType(), True),
         T.StructField("role", T.IntegerType(), True),
+        T.StructField("inflight", T.BooleanType(), True),
+        T.StructField("blocked", T.BooleanType(), True),
         T.StructField("is_stat", T.BooleanType(), False),
         T.StructField("shard_id", T.IntegerType(), True),
         T.StructField("n_items", T.LongType(), True),
@@ -92,6 +101,8 @@ MERGED_SCHEMA = T.StructType(
         T.StructField("n_resolved_new", T.LongType(), True),
         T.StructField("degraded", T.BooleanType(), True),
         T.StructField("path", T.StringType(), True),
+        T.StructField("e_path", T.StringType(), True),
+        T.StructField("e_n_items", T.LongType(), True),
     ]
 )
 
@@ -452,6 +463,8 @@ class SeenFilter:
         key_col: str = "url_key",
         resolve_col=None,
         tag: str = "",
+        enqueue: "SeenFilter | None" = None,
+        block_col=None,
     ):
         """One applyInPandas pass per round instead of two: each shard
         group inserts this round's keys (rewriting its npz + exact-key
@@ -467,6 +480,18 @@ class SeenFilter:
         (dnsresolver_new.py:125-126): an unseen resolve row is resolved
         from the glue payload (no fetch), so its key enters the seen set
         in the same pass and it never re-enters the frontier.
+
+        ``enqueue`` (optional, stratified frontier): a SECOND SeenFilter
+        tracking the ever-enqueued set E, fused into the same pass. For
+        every unseen plain-probe row the pass computes exact membership
+        in E (``inflight`` — the in-flight cycle break P11, replacing the
+        classic full-backlog union+semi-join), and routes the fresh rows:
+        ``block_col``-marked rows (robots-gated at enqueue) are inserted
+        into SEEN (terminal, never enqueued), the rest are inserted into
+        E. Both filters must share ``n_shards`` (keys land in the same
+        shard group). Returns ``(new_filter, new_enqueue, parts)`` where
+        parts maps ``new | nonhaz | blocked | resolved`` to the matching
+        probe_df subsets.
 
         Returns ``(new_filter, unseen_df)`` without ``resolve_col``, else
         ``(new_filter, unseen_df, resolved_new_df)`` where ``unseen_df``
@@ -484,11 +509,31 @@ class SeenFilter:
         key_dirs = list(self.key_files)
         n_bits, n_buckets, k = self.n_bits, self.n_buckets, self.k
 
+        with_enq = enqueue is not None
+        if with_enq:
+            if enqueue.n_shards != self.n_shards:
+                raise ValueError("enqueue filter must share n_shards with seen filter")
+            e_out_dir = os.path.join(enqueue.state_dir, f"enq_r{round_no:06d}{tag}")
+            e_keys_dir = os.path.join(e_out_dir, "keys.parquet")
+            os.makedirs(e_keys_dir, exist_ok=True)
+            e_paths = dict(enqueue.shard_paths)
+            e_key_dirs = list(enqueue.key_files)
+            e_bits, e_buckets, e_k = enqueue.n_bits, enqueue.n_buckets, enqueue.k
+        else:
+            e_out_dir = e_keys_dir = ""
+            e_paths, e_key_dirs = {}, []
+            e_bits, e_buckets, e_k = n_bits, n_buckets, k
+
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             sid = int(pdf["shard_id"].iloc[0])
             ins = pdf.loc[pdf["role"] == 0, "url_key"].to_numpy(dtype=np.int64)
             prb = pdf.loc[pdf["role"] >= 1, "url_key"].to_numpy(dtype=np.int64)
             roles = pdf.loc[pdf["role"] >= 1, "role"].to_numpy(dtype=np.int32)
+            wb = (
+                pdf.loc[pdf["role"] >= 1, "will_block"]
+                .fillna(False)
+                .to_numpy(dtype=bool)
+            )
             prev = paths.get(sid)
             shard = (
                 _Shard.load(prev)
@@ -527,14 +572,50 @@ class SeenFilter:
             # their keys join this round's inserts in bloom/cuckoo + the
             # tier-3 key file
             resolved_new = prb[(roles == 2) & ~seen] if n else np.empty(0, np.int64)
-            all_new = (
-                np.unique(np.concatenate([ins, resolved_new]))
-                if resolved_new.size
-                else ins
-            )
             if resolved_new.size:
                 shard.bloom_insert(resolved_new)
                 shard.cuckoo_insert(resolved_new)
+
+            # fused E pass (stratified frontier): exact in-flight verdicts
+            # + enqueue/blocked routing for the fresh rows, in-task
+            inflight = np.zeros(n, dtype=bool)
+            blocked = np.zeros(n, dtype=bool)
+            e_new_path = ""
+            e_items = 0
+            blocked_new = np.empty(0, np.int64)
+            if with_enq:
+                e_prev = e_paths.get(sid)
+                e_shard = (
+                    _Shard.load(e_prev)
+                    if e_prev and os.path.exists(e_prev)
+                    else _Shard(e_bits, e_buckets, e_k)
+                )
+                e_new_path = e_prev or ""
+                plain_unseen = (roles == 1) & ~seen
+                if plain_unseen.any():
+                    inflight[plain_unseen] = _already_seen(
+                        e_shard, prb[plain_unseen], e_key_dirs, sid
+                    )
+                fresh_mask = plain_unseen & ~inflight
+                blocked = fresh_mask & wb
+                blocked_new = np.unique(prb[blocked])
+                enq_new = np.unique(prb[fresh_mask & ~wb])
+                if blocked_new.size:
+                    # robots-gated at enqueue: terminal — into SEEN, not E
+                    shard.bloom_insert(blocked_new)
+                    shard.cuckoo_insert(blocked_new)
+                if enq_new.size:
+                    e_shard.bloom_insert(enq_new)
+                    e_shard.cuckoo_insert(enq_new)
+                    e_new_path = os.path.join(e_out_dir, f"shard_{sid:05d}.npz")
+                    e_shard.save(e_new_path)
+                    ekp = os.path.join(e_keys_dir, f"part-{sid:05d}.parquet")
+                    tmp = f"{ekp}.tmp-{uuid.uuid4().hex[:8]}"
+                    pd.DataFrame({"url_key": enq_new}).to_parquet(tmp, index=False)
+                    os.replace(tmp, ekp)
+                e_items = e_shard.n_items
+
+            all_new = np.unique(np.concatenate([ins, resolved_new, blocked_new]))
             if all_new.size:
                 new_path = os.path.join(out_dir, f"shard_{sid:05d}.npz")
                 shard.save(new_path)
@@ -572,11 +653,22 @@ class SeenFilter:
             degraded = pd.arrays.BooleanArray(
                 np.full(n + 1, shard.degraded, dtype=bool), mask=na_tail.copy()
             )
+            infl_col = pd.arrays.BooleanArray(
+                np.concatenate([[False], inflight]), mask=na_head.copy()
+            )
+            blk_col = pd.arrays.BooleanArray(
+                np.concatenate([[False], blocked]), mask=na_head.copy()
+            )
+            e_items_col = pd.arrays.IntegerArray(
+                np.full(n + 1, e_items, dtype=np.int64), mask=na_tail.copy()
+            )
             return pd.DataFrame(
                 {
                     "url_key": url_key,
                     "seen": seen_col,
                     "role": role_col,
+                    "inflight": infl_col,
+                    "blocked": blk_col,
                     "is_stat": pd.array(na_head, dtype="boolean"),
                     "shard_id": pd.array(np.full(n + 1, sid, dtype=np.int32), dtype="Int32"),
                     "n_items": n_items,
@@ -584,6 +676,8 @@ class SeenFilter:
                     "n_resolved_new": n_res,
                     "degraded": degraded,
                     "path": pd.array([new_path] + [pd.NA] * n, dtype="string"),
+                    "e_path": pd.array([e_new_path] + [pd.NA] * n, dtype="string"),
+                    "e_n_items": e_items_col,
                 }
             )
 
@@ -592,12 +686,16 @@ class SeenFilter:
             if resolve_col is not None
             else F.lit(1)
         )
+        wb_col = block_col if block_col is not None else F.lit(False)
         tagged = (
             insert_keys.select(F.col(key_col).alias("url_key"))
             .withColumn("role", F.lit(0))
+            .withColumn("will_block", F.lit(None).cast("boolean"))
             .unionByName(
                 probe_df.select(
-                    F.col(key_col).alias("url_key"), probe_role.alias("role")
+                    F.col(key_col).alias("url_key"),
+                    probe_role.alias("role"),
+                    wb_col.cast("boolean").alias("will_block"),
                 )
             )
         )
@@ -636,6 +734,38 @@ class SeenFilter:
         # the shard's own tier-3 files + this round's in-memory inserts):
         # no union, no anti-join, one semi-join back onto the candidates
         fresh = merged.filter(~F.col("is_stat") & ~F.col("seen"))
+
+        if with_enq:
+            e_new_paths = dict(enqueue.shard_paths)
+            e_touched = False
+            for row in stats:
+                if row["e_path"]:
+                    e_new_paths[int(row["shard_id"])] = row["e_path"]
+                    if row["e_path"].startswith(e_out_dir):
+                        e_touched = True
+            new_enq = SeenFilter(
+                state_dir=enqueue.state_dir,
+                n_shards=enqueue.n_shards,
+                n_bits=enqueue.n_bits,
+                n_buckets=enqueue.n_buckets,
+                k=enqueue.k,
+                shard_paths=e_new_paths,
+                key_files=enqueue.key_files + ([e_keys_dir] if e_touched else []),
+            )
+
+            def semi(keys_df):
+                ks = keys_df.select("url_key").withColumnRenamed("url_key", key_col)
+                return probe_df.join(ks, key_col, "left_semi")
+
+            plain = fresh.filter(F.col("role") == 1)
+            parts = {
+                "new": semi(plain.filter(~F.col("inflight") & ~F.col("blocked"))),
+                "nonhaz": semi(plain.filter(F.col("inflight"))),
+                "blocked": semi(plain.filter(F.col("blocked"))),
+                "resolved": semi(fresh.filter(F.col("role") == 2)),
+            }
+            return new_filter, new_enq, parts
+
         if resolve_col is None:
             unseen_keys = fresh.select("url_key").withColumnRenamed("url_key", key_col)
             return new_filter, probe_df.join(unseen_keys, key_col, "left_semi")

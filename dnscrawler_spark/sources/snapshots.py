@@ -39,6 +39,9 @@ class Snapshot:
     seen: dict | None = None
     metrics: dict = field(default_factory=dict)
     lineage: list[dict] = field(default_factory=list)  # per-partition rows
+    # auxiliary state for optional engine modes (absent in old manifests):
+    # stratified frontier keeps {"cold_paths": [...], "enqueued": manifest}
+    aux: dict = field(default_factory=dict)
 
     def to_json(self) -> dict:
         return {
@@ -49,6 +52,7 @@ class Snapshot:
             "seen": self.seen,
             "metrics": self.metrics,
             "lineage": self.lineage,
+            "aux": self.aux,
         }
 
     @classmethod
@@ -68,9 +72,14 @@ class SnapshotStore:
     def table_path(self, round_no: int, name: str) -> str:
         return os.path.join(self.data_dir, f"r{round_no:06d}", name)
 
-    def write_table(self, df: DataFrame, round_no: int, name: str) -> str:
+    def write_table(
+        self, df: DataFrame, round_no: int, name: str, partition_by: list[str] | None = None
+    ) -> str:
         path = self.table_path(round_no, name)
-        df.write.mode("overwrite").parquet(path)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
         return path
 
     def commit(self, snap: Snapshot) -> str:

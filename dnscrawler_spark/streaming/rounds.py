@@ -30,8 +30,10 @@ from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from dnscrawler_spark.datagen import HOST_STATE_SCHEMA
 from dnscrawler_spark.operators import expand as X
 from dnscrawler_spark.operators import politeness as pol
+from dnscrawler_spark.operators import stratified as strat
 from dnscrawler_spark.operators.frontier import (
     FRONTIER_COLS,
+    FRONTIER_SCHEMA,
     N_SALTS_DEFAULT,
     repartition_by_host,
     seed_frontier,
@@ -89,6 +91,18 @@ class CrawlConfig:
     # round — a crash replays at most two rounds instead of one. All
     # metrics are observation-based and final before the round returns.
     pipeline_writes: bool = False
+    # stratified (hot/cold) frontier (operators/stratified.py): politeness
+    # ranks only the hot admission horizon; the backlog lives in
+    # append-only cold deltas pulled on demand (deficit-driven, bucket-
+    # pruned). Admission decisions are provably identical to classic /
+    # the oracle; robots gating moves to enqueue time and the in-flight
+    # cycle break (P11) runs through the fused ever-enqueued exact
+    # filter E instead of a full-backlog union. The per-round cost
+    # becomes O(horizon + new rows), not O(backlog) — the 10^10 path.
+    stratified: bool = False
+    replenish_chunk: int = 4  # pull chunk×ceil(burst) per deficit host
+    cold_buckets: int = 64  # hbucket partitions for cold deltas
+    cold_compact_every: int = 16  # compact when delta count exceeds this
 
 
 class CrawlEngine:
@@ -109,6 +123,11 @@ class CrawlEngine:
         self._write_pool: ThreadPoolExecutor | None = None
         if self.cfg.partitions is None:
             self.cfg.partitions = spark.sparkContext.defaultParallelism
+        if self.cfg.stratified and self.cfg.seed_budget is not None:
+            # the budget's eager whole-frontier demotion would scan cold
+            # every round (and its round-exact semantics can't be matched
+            # lazily) — see NOTES_r2
+            raise ValueError("stratified frontier does not support seed_budget")
         if self.cfg.fetch_mode == "synthetic":
             if self.cfg.n_pages is None:
                 raise ValueError("synthetic fetch needs cfg.n_pages")
@@ -134,24 +153,76 @@ class CrawlEngine:
         the reference's seed-file shape) or a DataFrame with a ``url``
         column (scale path — a 10^10-row seed set never sees the
         driver)."""
+        cfg = self.cfg
         obs = None
         if isinstance(seed_urls, DataFrame):
-            fr = seed_frontier_from_df(seed_urls, self.cfg.n_salts)
-            obs = Observation("seed_n")
-            fr = fr.observe(obs, F.count(F.lit(1)).alias("n"))
+            fr = seed_frontier_from_df(seed_urls, cfg.n_salts)
+            if not cfg.stratified:
+                obs = Observation("seed_n")
+                fr = fr.observe(obs, F.count(F.lit(1)).alias("n"))
         else:
-            fr = seed_frontier(self.spark, seed_urls, self.cfg.n_salts)
+            fr = seed_frontier(self.spark, seed_urls, cfg.n_salts)
             n_seeds = len(seed_urls)
         snap = Snapshot(snapshot_id="snap-000000", parent_id=None, round=0)
-        snap.tables["frontier"] = self.store.write_table(fr, 0, "frontier")
-        if obs is not None:
-            n_seeds = int(obs.get["n"])
+        if cfg.stratified:
+            # Seeds go to COLD (W = -inf): a 10^10-row seed set is never
+            # globally sorted — round 1 pulls per-host chunks on demand.
+            # Robots gating happens here (at enqueue); blocked seeds ride
+            # the pending_blocked table into round 0's blocked flow, so
+            # they are facts+seen BEFORE round 0's candidates are probed
+            # — the oracle's round-0 robots phase, exactly.
+            policy = F.broadcast(
+                host_state.select("host", "robots_disallow", "robots_fetched")
+            )
+            frp = fr.join(policy, "host", "left")
+            bp = pol.robots_block_pred()
+            pending_blocked = frp.filter(bp).select(*FRONTIER_COLS)
+            clean = frp.filter(~bp).select(*FRONTIER_COLS).persist()
+            cold0 = clean.withColumn(
+                "hbucket", strat.hbucket_col(F.col("host"), cfg.cold_buckets)
+            )
+            obs_cold = Observation("seed_cold_n")
+            cold0 = cold0.observe(obs_cold, F.count(F.lit(1)).alias("n"))
+            cold_path = self.store.write_table(
+                cold0, 0, "frontier_cold", partition_by=["hbucket"]
+            )
+            qs0 = clean.groupBy("host").agg(
+                F.count(F.lit(1)).cast("long").alias("n_cold")
+            ).select(
+                "host", F.lit(None).cast(strat.W_TYPE).alias("w"), "n_cold"
+            )
+            n_small = max(1, (cfg.partitions or 8) // 8)
+            snap.tables["queue_state"] = self.store.write_table(
+                qs0.coalesce(n_small), 0, "queue_state"
+            )
+            snap.tables["frontier"] = self.store.write_table(
+                self.spark.createDataFrame([], FRONTIER_SCHEMA), 0, "frontier"
+            )
+            snap.tables["pending_blocked"] = self.store.write_table(
+                pending_blocked, 0, "pending_blocked"
+            )
+            enq = SeenFilter(
+                state_dir=os.path.join(self.root, "enq_state"),
+                n_shards=cfg.seen_shards,
+                n_bits=cfg.seen_bits,
+                n_buckets=cfg.seen_buckets,
+            ).insert(clean.select("url_key"), 0)
+            n_seeds = int(obs_cold.get["n"])
+            clean.unpersist()
+            snap.aux = {
+                "cold_paths": [cold_path] if n_seeds else [],
+                "enqueued": enq.to_manifest(),
+            }
+        else:
+            snap.tables["frontier"] = self.store.write_table(fr, 0, "frontier")
+            if obs is not None:
+                n_seeds = int(obs.get["n"])
         snap.tables["host_state"] = self.store.write_table(host_state, 0, "host_state")
         seen = SeenFilter(
             state_dir=os.path.join(self.root, "seen_state"),
-            n_shards=self.cfg.seen_shards,
-            n_bits=self.cfg.seen_bits,
-            n_buckets=self.cfg.seen_buckets,
+            n_shards=cfg.seen_shards,
+            n_bits=cfg.seen_bits,
+            n_buckets=cfg.seen_buckets,
         )
         snap.seen = seen.to_manifest()
         snap.metrics = {"n_frontier": n_seeds, "done": False}
@@ -204,14 +275,39 @@ class CrawlEngine:
                 print(f"  [r{r}] {label}: +{now - _last[0]:.2f}s", flush=True)
                 _last[0] = now
 
-        from dnscrawler_spark.operators.frontier import FRONTIER_SCHEMA
-
         frontier = store.read_table(spark, snap, "frontier", FRONTIER_SCHEMA)
         host_state = store.read_table(spark, snap, "host_state", HOST_STATE_SCHEMA)
         glue = store.read_table(spark, snap, "glue", X.GLUE_SCHEMA)
         if glue is None:
             glue = spark.createDataFrame([], X.GLUE_SCHEMA)
         seen = SeenFilter.from_manifest(snap.seen)
+
+        # stratified frontier: `frontier` is the HOT horizon only; pull
+        # per-host chunks from cold for any host that could under-admit
+        # (deficit-driven replenish, bucket-pruned cold scan), then rank
+        # hot exactly as classic ranks the whole backlog — provably the
+        # same admission set (operators/stratified.py invariants).
+        enq = None
+        qs = None
+        cold_paths: list[str] = []
+        strat_persisted: list = []
+        if cfg.stratified:
+            qs = store.read_table(spark, snap, "queue_state", strat.QUEUE_STATE_SCHEMA)
+            cold_paths = list(snap.aux.get("cold_paths", []))
+            enq = SeenFilter.from_manifest(snap.aux["enqueued"])
+            if len(cold_paths) > cfg.cold_compact_every:
+                # bound delta-file fan-in: fold all deltas into one fresh
+                # base (live rows only); idempotent on crash-replay
+                base = store.write_table(
+                    strat.compact_cold(spark, qs, cold_paths),
+                    r, "frontier_cold_base", partition_by=["hbucket"],
+                )
+                cold_paths = [base]
+            frontier, qs, strat_persisted = strat.replenish(
+                spark, frontier, qs, host_state, cold_paths,
+                cfg.replenish_chunk, cfg.cold_buckets,
+            )
+            tick("replenish")
 
         # per-seed budget (run/run.py:59 analog): demote every frontier
         # row of an exhausted seed before politeness. Broadcast-semi on
@@ -236,6 +332,15 @@ class CrawlEngine:
         # consumer re-runs the frontier read + both ranking windows
         admitted = admitted.persist()
         leftover = leftover.persist()
+        if cfg.stratified:
+            # robots-blocked seeds parked by start() join round 0's
+            # blocked flow (facts + seen BEFORE this round's candidates
+            # are probed — the oracle's round-0 robots phase, exactly).
+            # All other rows were robots-gated at enqueue, so the
+            # politeness robots branch is empty by construction.
+            pb = store.read_table(spark, snap, "pending_blocked", FRONTIER_SCHEMA)
+            if pb is not None:
+                blocked = blocked.unionByName(pb)
         obs_blocked = Observation(f"blocked_r{r}")
         blocked = blocked.observe(obs_blocked, F.count(F.lit(1)).alias("n")).persist()
 
@@ -317,15 +422,53 @@ class CrawlEngine:
         # — facts now, seen now, never fetched. The stats collect is also
         # the action that materializes the fetched/blocked caches.
         tick("plan")
-        seen2, unseen, glue_resolved = seen.insert_and_probe(
-            seen_keys, candidates, r, resolve_col=F.col("reason") == "glue"
-        )
-        tick("fused-pass collect (fetch+dedup materialized)")
-        unseen = unseen.persist()
-        glue_resolved = glue_resolved.persist()
-        inflight = leftover.select("url_key").union(retries.select("url_key"))
-        nonhaz = unseen.join(inflight, "url_key", "left_semi")
-        new_rows = unseen.join(inflight, "url_key", "left_anti")
+
+        def with_will_block(cand):
+            """Robots verdict at enqueue time (stratified): same predicate
+            politeness applies, computed once per candidate — blocked
+            candidates become terminal inside the fused pass and never
+            enter the frontier. Same policy broadcast admit() uses."""
+            policy = F.broadcast(
+                host_state.select("host", "robots_disallow", "robots_fetched")
+            )
+            return (
+                cand.join(policy, "host", "left")
+                .withColumn("will_block", pol.robots_block_pred())
+                .drop("robots_disallow", "robots_fetched")
+            )
+
+        unseen = None
+        blocked_cand = None
+        enq_final = None
+        obs_cblk = Observation(f"cblk_r{r}")
+        if cfg.stratified:
+            # the fused pass also probes/updates the ever-enqueued filter
+            # E: the in-flight cycle break (P11) without touching the
+            # backlog — unseen ∧ enqueued ⇔ in-flight, since rows only
+            # leave the frontier by becoming seen
+            seen2, enq2, parts = seen.insert_and_probe(
+                seen_keys, with_will_block(candidates), r,
+                resolve_col=F.col("reason") == "glue",
+                enqueue=enq, block_col=F.col("will_block"),
+            )
+            tick("fused-pass collect (fetch+dedup materialized)")
+            glue_resolved = parts["resolved"].drop("will_block").persist()
+            nonhaz = parts["nonhaz"].drop("will_block")
+            new_rows = parts["new"].drop("will_block")
+            blocked_cand = parts["blocked"].drop("will_block").observe(
+                obs_cblk, F.count(F.lit(1)).alias("n")
+            )
+            enq_final = enq2
+        else:
+            seen2, unseen, glue_resolved = seen.insert_and_probe(
+                seen_keys, candidates, r, resolve_col=F.col("reason") == "glue"
+            )
+            tick("fused-pass collect (fetch+dedup materialized)")
+            unseen = unseen.persist()
+            glue_resolved = glue_resolved.persist()
+            inflight = leftover.select("url_key").union(retries.select("url_key"))
+            nonhaz = unseen.join(inflight, "url_key", "left_semi")
+            new_rows = unseen.join(inflight, "url_key", "left_anti")
 
         # ---- wave B (W3, dnsresolver_new.py:210 `for i in range(2)`):
         # the freshly learned zone-cut set (carry-band discoveries) is
@@ -372,19 +515,40 @@ class CrawlEngine:
                 .union(blocked_b.select("url_key"))
                 .union(qmin_b.select(F.col("orig_url_key").alias("url_key")))
             )
-            seen_final, unseen_b, glue_resolved_b = seen2.insert_and_probe(
-                seen_keys_b, candidates_b, r,
-                resolve_col=F.col("reason") == "glue", tag="-b",
-            )
-            unseen_b = unseen_b.persist()
-            glue_resolved_b = glue_resolved_b.persist()
-            inflight2 = (
-                inflight.union(rest.select("url_key"))
-                .union(leftover_b.select("url_key"))
-                .union(retries_b.select("url_key"))
-            )
-            nonhaz_b = unseen_b.join(inflight2, "url_key", "left_semi")
-            new_b = unseen_b.join(inflight2, "url_key", "left_anti")
+            obs_cblk_b = Observation(f"cblk_b_r{r}")
+            blocked_cand_b = None
+            unseen_b = None
+            if cfg.stratified:
+                # E already holds wave-A's fresh rows (inserted in the
+                # wave-A pass), so the exact in-flight set here is the
+                # oracle's inflight2 = inflight ∪ rest ∪ leftover_b ∪
+                # retries_b — no unions needed
+                seen_final, enq_b, parts_b = seen2.insert_and_probe(
+                    seen_keys_b, with_will_block(candidates_b), r,
+                    resolve_col=F.col("reason") == "glue", tag="-b",
+                    enqueue=enq2, block_col=F.col("will_block"),
+                )
+                glue_resolved_b = parts_b["resolved"].drop("will_block").persist()
+                nonhaz_b = parts_b["nonhaz"].drop("will_block")
+                new_b = parts_b["new"].drop("will_block")
+                blocked_cand_b = parts_b["blocked"].drop("will_block").observe(
+                    obs_cblk_b, F.count(F.lit(1)).alias("n")
+                )
+                enq_final = enq_b
+            else:
+                seen_final, unseen_b, glue_resolved_b = seen2.insert_and_probe(
+                    seen_keys_b, candidates_b, r,
+                    resolve_col=F.col("reason") == "glue", tag="-b",
+                )
+                unseen_b = unseen_b.persist()
+                glue_resolved_b = glue_resolved_b.persist()
+                inflight2 = (
+                    inflight.union(rest.select("url_key"))
+                    .union(leftover_b.select("url_key"))
+                    .union(retries_b.select("url_key"))
+                )
+                nonhaz_b = unseen_b.join(inflight2, "url_key", "left_semi")
+                new_b = unseen_b.join(inflight2, "url_key", "left_anti")
             wave_b = {
                 "admitted": admitted_b, "leftover": leftover_b,
                 "blocked": blocked_b, "fetched": fetched_b,
@@ -392,6 +556,7 @@ class CrawlEngine:
                 "qmin": qmin_b, "candidates": candidates_b,
                 "unseen": unseen_b, "glue_resolved": glue_resolved_b,
                 "nonhaz": nonhaz_b, "new": new_b, "enriched": enriched_b,
+                "blocked_cand": blocked_cand_b, "obs_cblk": obs_cblk_b,
                 "obs_fetched": obs_fetched_b, "obs_term": obs_term_b,
                 "obs_qmin": obs_qmin_b, "obs_blocked": obs_blocked_b,
             }
@@ -446,6 +611,13 @@ class CrawlEngine:
             )
         if over_budget is not None:
             facts = facts.union(X.simple_facts(over_budget, "budget_exceeded", r))
+        if blocked_cand is not None:
+            # robots gating at enqueue (stratified): candidate-time blocks
+            facts = facts.union(X.simple_facts(blocked_cand, "robots_blocked", r))
+        if wave_b is not None and wave_b["blocked_cand"] is not None:
+            facts = facts.union(
+                X.simple_facts(wave_b["blocked_cand"], "robots_blocked", r)
+            )
 
         # ---- parallel snapshot writes ---------------------------------------
         nxt = Snapshot(
@@ -495,6 +667,27 @@ class CrawlEngine:
         # facts write (whose nonhaz branch shares `unseen`) is submitted
         # right after, it reads the warm cache instead of recomputing.
         # No standalone count() job anywhere in the round.
+        # Stratified: the frontier write becomes THREE deltas — hot
+        # (small rewrite), a cold APPEND (only this round's spills, never
+        # the backlog), and the per-host queue_state — the O(backlog)
+        # rewrite is gone. All three are read by the next round, so they
+        # stay in the sync write wave even under pipeline_writes.
+        routed_cache = None
+        obs_hot = obs_coldadd = obs_qs = None
+        part_by: dict[str, list[str]] = {}
+        if cfg.stratified:
+            routed_cache, to_hot, to_cold, qs3 = strat.route(
+                frontier2, qs, cfg.cold_buckets
+            )
+            obs_hot = Observation(f"hot_r{r}")
+            frontier2 = to_hot.observe(obs_hot, F.count(F.lit(1)).alias("n"))
+            obs_coldadd = Observation(f"coldadd_r{r}")
+            to_cold = to_cold.observe(obs_coldadd, F.count(F.lit(1)).alias("n"))
+            obs_qs = Observation(f"qs_r{r}")
+            qs3 = qs3.observe(obs_qs, F.sum("n_cold").alias("nc"))
+            phase_a["frontier_cold"] = to_cold
+            phase_a["queue_state"] = qs3.coalesce(n_small)
+            part_by["frontier_cold"] = ["hbucket"]
         pending_futs = None
         if cfg.pipeline_writes:
             # sync: only what the NEXT round reads (frontier + the small
@@ -503,7 +696,9 @@ class CrawlEngine:
             sync_small = {k: v for k, v in phase_a.items() if k != "fetched"}
             with ThreadPoolExecutor(max_workers=3) as ex:
                 futs = {
-                    name: ex.submit(store.write_table, df, r + 1, name)
+                    name: ex.submit(
+                        store.write_table, df, r + 1, name, part_by.get(name)
+                    )
                     for name, df in sync_small.items()
                 }
                 nxt.tables["frontier"] = store.write_table(frontier2, r + 1, "frontier")
@@ -523,7 +718,9 @@ class CrawlEngine:
         else:
             with ThreadPoolExecutor(max_workers=4) as ex:
                 futs = {
-                    name: ex.submit(store.write_table, df, r + 1, name)
+                    name: ex.submit(
+                        store.write_table, df, r + 1, name, part_by.get(name)
+                    )
                     for name, df in phase_a.items()
                 }
                 nxt.tables["frontier"] = store.write_table(frontier2, r + 1, "frontier")
@@ -554,6 +751,21 @@ class CrawlEngine:
             n_glue += seen_final.last_stats.get("n_resolved_new", 0)
             n_dups += seen_final.last_stats.get("n_dup_inserts", 0)
         n_frontier2 = sum(branch_n.values())
+        n_cold_total = None
+        if cfg.stratified:
+            # total frontier = hot horizon + live cold backlog (exact
+            # n_cold bookkeeping); branch counts remain the flow metrics
+            n_cold_total = int(obs_qs.get["nc"] or 0)
+            n_frontier2 = int(obs_hot.get["n"]) + n_cold_total
+            n_blocked += int(obs_cblk.get["n"])
+            if wave_b is not None:
+                n_blocked += int(wave_b["obs_cblk"].get["n"])
+            delta_added = int(obs_coldadd.get["n"])
+            nxt.aux = {
+                "cold_paths": cold_paths
+                + ([nxt.tables["frontier_cold"]] if delta_added else []),
+                "enqueued": enq_final.to_manifest(),
+            }
         lineage = []
         if cfg.collect_lineage:
             lineage = [
@@ -578,22 +790,30 @@ class CrawlEngine:
             # work done twice on one url — seen-set reconciliation needs it
             "n_dup_inserts": n_dups,
             "n_frontier_next": n_frontier2,
+            "n_cold_backlog": n_cold_total,
             "n_bad_payloads": n_bad,
             "wall_ms": round((time.monotonic() - t0) * 1e3, 1),
             "done": n_frontier2 == 0,
         }
         to_unpersist = [
             admitted, leftover, blocked, fetched, retries, terminal, qmin,
-            glue2, candidates, unseen, glue_resolved,
+            glue2, candidates, glue_resolved,
         ]
+        if unseen is not None:
+            to_unpersist.append(unseen)
+        if routed_cache is not None:
+            to_unpersist.append(routed_cache)
+        to_unpersist += strat_persisted
         if wave_b is not None:
             to_unpersist += [
                 glue_final,
                 wave_b["admitted"], wave_b["leftover"], wave_b["blocked"],
                 wave_b["fetched"], wave_b["retries"], wave_b["terminal"],
-                wave_b["qmin"], wave_b["candidates"], wave_b["unseen"],
+                wave_b["qmin"], wave_b["candidates"],
                 wave_b["glue_resolved"],
             ]
+            if wave_b["unseen"] is not None:
+                to_unpersist.append(wave_b["unseen"])
             if wave_b["enriched"] is not None:
                 to_unpersist.append(wave_b["enriched"])
         if over_budget is not None:

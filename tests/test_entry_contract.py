@@ -54,16 +54,14 @@ def test_all_queries_have_oracle_or_are_flagged():
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(osql) <= set(qs)
     rows_only = set(qs) - set(osql)
-    # only hash-native ops, binary-column plumbing, and the iterative
-    # crawl itself (oracle'd by tests/test_crawl_parity.py instead) may
-    # skip the SQL oracle
+    # only hash-native ops and binary-column plumbing may skip the SQL
+    # oracle (the crawl probes all have dumped-oracle DuckDB twins now)
     assert rows_only == {
         "f12_xxhash_keys",
         "dedup_simhash_pairs",
         "sim_lsh_topk",
         "mm_decode_features",
         "mm_frame_sample",
-        "crawl_results",
     }
 
 

