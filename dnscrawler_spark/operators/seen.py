@@ -99,6 +99,7 @@ MERGED_SCHEMA = T.StructType(
         T.StructField("n_items", T.LongType(), True),
         T.StructField("n_dup_inserts", T.LongType(), True),
         T.StructField("n_resolved_new", T.LongType(), True),
+        T.StructField("n_blocked_new", T.LongType(), True),
         T.StructField("degraded", T.BooleanType(), True),
         T.StructField("path", T.StringType(), True),
         T.StructField("e_path", T.StringType(), True),
@@ -650,6 +651,10 @@ class SeenFilter:
                 np.full(n + 1, int(resolved_new.size), dtype=np.int64),
                 mask=na_tail.copy(),
             )
+            n_blk = pd.arrays.IntegerArray(
+                np.full(n + 1, int(blocked_new.size), dtype=np.int64),
+                mask=na_tail.copy(),
+            )
             degraded = pd.arrays.BooleanArray(
                 np.full(n + 1, shard.degraded, dtype=bool), mask=na_tail.copy()
             )
@@ -674,6 +679,7 @@ class SeenFilter:
                     "n_items": n_items,
                     "n_dup_inserts": n_dups,
                     "n_resolved_new": n_res,
+                    "n_blocked_new": n_blk,
                     "degraded": degraded,
                     "path": pd.array([new_path] + [pd.NA] * n, dtype="string"),
                     "e_path": pd.array([e_new_path] + [pd.NA] * n, dtype="string"),
@@ -727,6 +733,10 @@ class SeenFilter:
         new_filter.last_stats = {
             "n_dup_inserts": sum(int(row["n_dup_inserts"] or 0) for row in stats),
             "n_resolved_new": sum(int(row["n_resolved_new"] or 0) for row in stats),
+            # robots-blocked-at-enqueue count from the SAME stats collect:
+            # an Observation here would block on the (possibly pipelined)
+            # facts write — this is free and available immediately
+            "n_blocked_new": sum(int(row["n_blocked_new"] or 0) for row in stats),
         }
         new_filter._persisted = self._persisted  # release() covers both
 

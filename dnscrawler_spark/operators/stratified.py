@@ -30,12 +30,20 @@ Round protocol:
   n_hot < ceil(burst) could under-admit — pull its per-host top
   ``chunk × ceil(burst) − n_hot`` live cold rows (amortizes to one pull
   every ~chunk rounds per host), raise W to the max pulled key. The
-  cold scan prunes to the hbucket partitions containing deficit hosts
-  (directory-level partition pruning; the driver sees only the ≤
-  n_buckets distinct bucket ids, never hosts).
+  deficit hosts, pull sizes, AND the hbucket list to read are all
+  precomputed by the previous round's routing aggregation (stored in
+  queue_state / the manifest via an Observation on its write), so
+  replenish launches no extra job and the cold scan prunes to the
+  deficit buckets by directory (the driver only ever sees ≤ n_buckets
+  ints, never hosts).
 - **route** (after expansion): re-enqueued rows go hot iff key ≤ W or
   the host's cold side is empty (then W is raised over them, keeping
-  invariant 2); everything else appends to cold.
+  invariant 2); everything else appends to cold. The same aggregation
+  emits next round's (n_hot, deficit, pull_t) — the next hot table is
+  exactly the hot-routed rows, so these are exact, not estimates.
+- **drained collapse**: once Σn_cold == 0 it stays 0 (rows only spill
+  while their host has cold rows), so later rounds drop the cold
+  machinery entirely and run at classic cost.
 
 Correctness at enqueue (kept exact vs the oracle, see rounds.py):
 robots gating moves to enqueue time (a blocked row is terminal the
@@ -67,12 +75,21 @@ W_TYPE = T.StructType(
     ]
 )
 
-# w == NULL means -infinity (nothing promoted yet: everything is cold)
+# w == NULL means -infinity (nothing promoted yet: everything is cold).
+# n_hot / deficit / pull_t are NEXT-round precomputations: the routing
+# aggregation knows exactly which rows the next round's hot table holds,
+# so the deficit decision (n_hot < ceil(burst) while cold rows remain)
+# and the pull size are baked into the table at write time — the next
+# round runs NO standalone deficit job; it reads the deficit rows (and
+# the bucket list rides the manifest via an Observation on this write).
 QUEUE_STATE_SCHEMA = T.StructType(
     [
         T.StructField("host", T.StringType(), False),
         T.StructField("w", W_TYPE, True),
         T.StructField("n_cold", T.LongType(), False),
+        T.StructField("n_hot", T.LongType(), False),
+        T.StructField("deficit", T.BooleanType(), False),
+        T.StructField("pull_t", T.IntegerType(), True),
     ]
 )
 
@@ -103,51 +120,44 @@ def read_cold(spark: SparkSession, cold_paths: list[str]) -> DataFrame:
     return spark.read.schema(COLD_SCHEMA).parquet(*cold_paths)
 
 
+def deficit_obs_exprs(n_buckets: int):
+    """Aggregate expressions attached (via Observation) to the
+    queue_state write: total live cold rows, and the distinct hbuckets
+    of next round's deficit hosts — the driver learns WHICH cold
+    partitions to read without running any extra job."""
+    return [
+        F.sum("n_cold").alias("nc"),
+        F.collect_set(
+            F.when(F.col("deficit"), hbucket_col(F.col("host"), n_buckets))
+        ).alias("dbuckets"),
+    ]
+
+
 def replenish(
     spark: SparkSession,
     hot: DataFrame,
     qs: DataFrame,
-    host_state: DataFrame,
     cold_paths: list[str],
-    chunk: int,
     n_buckets: int,
+    deficit_buckets: list[int],
 ):
     """Pull per-host top-chunks from cold into hot for every deficit
     host, guaranteeing n_hot ≥ this round's politeness budget wherever
     live rows exist (budget ≤ floor(tokens) ≤ ceil(burst) = the deficit
     threshold — conservative, so admission stays exact).
 
-    Returns ``(hot2, qs2, persisted)`` where ``persisted`` are frames to
-    unpersist after the round's writes. The ONE driver action here is
-    the deficit-bucket collect (≤ n_buckets ints — never hosts), which
-    is what lets the cold scan prune to the deficit buckets only.
-    """
-    hot_counts = hot.groupBy("host").agg(F.count(F.lit(1)).alias("n_hot"))
-    need = (
-        qs.filter(F.col("n_cold") > 0)
-        .join(hot_counts, "host", "left")
-        .join(host_state.select("host", "burst"), "host", "left")
-        .withColumn("need", F.ceil(F.coalesce(F.col("burst"), F.lit(1.0))).cast("int"))
-        .withColumn("n_hot", F.coalesce(F.col("n_hot"), F.lit(0)))
-        .filter(F.col("n_hot") < F.col("need"))
-        .select(
-            "host",
-            "w",
-            (F.lit(chunk) * F.col("need") - F.col("n_hot")).alias("pull_t"),
-        )
-        .persist()
-    )
-    buckets = [
-        r["b"]
-        for r in need.select(hbucket_col(F.col("host"), n_buckets).alias("b"))
-        .distinct()
-        .collect()
-    ]
-    if not buckets or not cold_paths:
-        need.unpersist()
-        return hot, qs, []
+    Deficit hosts, pull sizes, and the bucket list were all precomputed
+    by the PREVIOUS round's routing aggregation (stored in queue_state /
+    the manifest), so this runs NO standalone job — when the bucket list
+    is empty the round touches nothing cold at all.
 
-    cold = read_cold(spark, cold_paths).filter(F.col("hbucket").isin(buckets))
+    Returns ``(hot2, qs2, persisted)``; ``persisted`` are frames to
+    unpersist after the round's writes.
+    """
+    if not deficit_buckets or not cold_paths:
+        return hot, qs, []
+    need = qs.filter(F.col("deficit")).select("host", "w", "pull_t")
+    cold = read_cold(spark, cold_paths).filter(F.col("hbucket").isin(deficit_buckets))
     j = cold.drop("hbucket").join(need, "host")
     live = j.filter(live_pred(F.col("w")))
     w_rank = Window.partitionBy("host").orderBy("priority", "depth", "url")
@@ -170,12 +180,24 @@ def replenish(
         .drop("n_pulled", "w_new")
     )
     hot2 = hot.unionByName(pulled)
-    return hot2, qs2, [need, pulled]
+    return hot2, qs2, [pulled]
 
 
-def route(rows: DataFrame, qs: DataFrame, n_buckets: int):
+def route(
+    rows: DataFrame,
+    qs: DataFrame,
+    host_state: DataFrame,
+    n_buckets: int,
+    chunk: int,
+):
     """Split re-enqueued frontier rows into hot (key ≤ W, or the host
-    has no cold rows — W is raised over them) and cold (appended).
+    has no cold rows — W is raised over them) and cold (appended), and
+    compute the NEXT round's queue_state in the same pass: since the
+    next hot table is exactly ``to_hot``, per-host n_hot — and with
+    burst, the deficit flag and pull size — are known now. One
+    aggregation over the routed cache + one full join with the old
+    state + a burst join; no extra jobs next round.
+
     Returns ``(routed_persisted, to_hot, to_cold, qs3)``; the caller
     writes to_hot as the next hot table, to_cold as a cold delta
     (partitioned by hbucket), qs3 as the next queue_state, then
@@ -195,21 +217,23 @@ def route(rows: DataFrame, qs: DataFrame, n_buckets: int):
         .select(*FRONTIER_COLS)
         .withColumn("hbucket", hbucket_col(F.col("host"), n_buckets))
     )
-    cold_stats = to_cold.groupBy("host").agg(F.count(F.lit(1)).alias("n_add"))
-    # hosts whose cold side is empty take every row hot — W must cover
-    # them (invariant 2): raise to the max hot-routed key. Hosts with
-    # cold rows only take key ≤ W rows hot, so no raise is needed there.
-    raise_stats = (
-        j.filter(~to_cold_pred & ~has_cold)
-        .groupBy("host")
-        .agg(F.max(key_struct()).alias("w_cand"))
+    # one aggregation: cold appends, hot counts, and the W raise for
+    # hosts whose cold side is empty (every row goes hot there — W must
+    # cover them, invariant 2; hosts with cold rows only take key ≤ W
+    # rows hot, so no raise is needed)
+    stats = j.groupBy("host").agg(
+        F.sum(to_cold_pred.cast("long")).alias("n_add"),
+        F.sum((~to_cold_pred).cast("long")).alias("n_hot_new"),
+        F.max(F.when(~to_cold_pred & ~has_cold, key_struct())).alias("w_cand"),
     )
     qs3 = (
-        qs.join(cold_stats, "host", "full")
-        .join(raise_stats, "host", "full")
+        qs.select("host", "w", "n_cold")
+        .join(stats, "host", "full")
         .withColumn(
-            "n_cold", F.coalesce(F.col("n_cold"), F.lit(0)) + F.coalesce(F.col("n_add"), F.lit(0))
+            "n_cold",
+            F.coalesce(F.col("n_cold"), F.lit(0)) + F.coalesce(F.col("n_add"), F.lit(0)),
         )
+        .withColumn("n_hot", F.coalesce(F.col("n_hot_new"), F.lit(0)))
         .withColumn(
             "w",
             F.when(
@@ -218,9 +242,40 @@ def route(rows: DataFrame, qs: DataFrame, n_buckets: int):
                 F.col("w_cand"),
             ).otherwise(F.col("w")),
         )
-        .select("host", "w", "n_cold")
+        .join(host_state.select("host", "burst"), "host", "left")
+        .withColumn("need", F.ceil(F.coalesce(F.col("burst"), F.lit(1.0))).cast("int"))
+        .withColumn("deficit", (F.col("n_cold") > 0) & (F.col("n_hot") < F.col("need")))
+        .withColumn(
+            "pull_t",
+            F.when(
+                F.col("deficit"),
+                (F.lit(chunk) * F.col("need") - F.col("n_hot")).cast("int"),
+            ),
+        )
+        .select("host", "w", "n_cold", "n_hot", "deficit", "pull_t")
     )
     return j, to_hot, to_cold, qs3
+
+
+def initial_queue_state(clean_seeds: DataFrame, host_state: DataFrame, chunk: int):
+    """queue_state for the round-0 snapshot: every seed is cold
+    (W = -inf, n_hot = 0), so every seeded host is deficit with a full
+    chunk pull."""
+    counts = clean_seeds.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cold")
+    )
+    return (
+        counts.join(host_state.select("host", "burst"), "host", "left")
+        .withColumn("need", F.ceil(F.coalesce(F.col("burst"), F.lit(1.0))).cast("int"))
+        .select(
+            "host",
+            F.lit(None).cast(W_TYPE).alias("w"),
+            "n_cold",
+            F.lit(0).cast("long").alias("n_hot"),
+            F.lit(True).alias("deficit"),
+            (F.lit(chunk) * F.col("need")).cast("int").alias("pull_t"),
+        )
+    )
 
 
 def compact_cold(spark: SparkSession, qs: DataFrame, cold_paths: list[str]) -> DataFrame:

@@ -56,6 +56,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # a broadcast build job can queue behind a multi-minute Python
+        # fetch stage when task slots are scarce (pinned 2-core scaling
+        # legs); the default 300 s timeout then kills an otherwise
+        # healthy round — this is a liveness ceiling, not a hang check
+        .config("spark.sql.broadcastTimeout", "3600")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )

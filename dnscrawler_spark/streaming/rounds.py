@@ -186,11 +186,9 @@ class CrawlEngine:
             cold_path = self.store.write_table(
                 cold0, 0, "frontier_cold", partition_by=["hbucket"]
             )
-            qs0 = clean.groupBy("host").agg(
-                F.count(F.lit(1)).cast("long").alias("n_cold")
-            ).select(
-                "host", F.lit(None).cast(strat.W_TYPE).alias("w"), "n_cold"
-            )
+            qs0 = strat.initial_queue_state(clean, host_state, cfg.replenish_chunk)
+            obs_qs0 = Observation("seed_qs")
+            qs0 = qs0.observe(obs_qs0, *strat.deficit_obs_exprs(cfg.cold_buckets))
             n_small = max(1, (cfg.partitions or 8) // 8)
             snap.tables["queue_state"] = self.store.write_table(
                 qs0.coalesce(n_small), 0, "queue_state"
@@ -212,6 +210,9 @@ class CrawlEngine:
             snap.aux = {
                 "cold_paths": [cold_path] if n_seeds else [],
                 "enqueued": enq.to_manifest(),
+                "deficit_buckets": sorted(
+                    int(b) for b in (obs_qs0.get["dbuckets"] or [])
+                ),
             }
         else:
             snap.tables["frontier"] = self.store.write_table(fr, 0, "frontier")
@@ -226,6 +227,11 @@ class CrawlEngine:
         )
         snap.seen = seen.to_manifest()
         snap.metrics = {"n_frontier": n_seeds, "done": False}
+        if cfg.stratified:
+            # seeds all went cold; run_round uses this to skip the cold
+            # machinery entirely once the backlog drains (absorbing:
+            # route() only spills to cold while n_cold > 0)
+            snap.metrics["n_cold_backlog"] = n_seeds
         self.store.commit(snap)
         return snap
 
@@ -291,10 +297,17 @@ class CrawlEngine:
         qs = None
         cold_paths: list[str] = []
         strat_persisted: list = []
+        # cold_active: does ANY host still have live cold rows? Exact
+        # (summed from last round's queue_state observation). Once false
+        # it stays false — route() only spills while n_cold > 0 — so the
+        # round drops ALL cold machinery (no replenish job, no routing
+        # joins, no cold/queue_state writes) and runs at classic cost.
+        cold_active = bool(snap.metrics.get("n_cold_backlog", 1)) if cfg.stratified else False
         if cfg.stratified:
+            enq = SeenFilter.from_manifest(snap.aux["enqueued"])
+        if cold_active:
             qs = store.read_table(spark, snap, "queue_state", strat.QUEUE_STATE_SCHEMA)
             cold_paths = list(snap.aux.get("cold_paths", []))
-            enq = SeenFilter.from_manifest(snap.aux["enqueued"])
             if len(cold_paths) > cfg.cold_compact_every:
                 # bound delta-file fan-in: fold all deltas into one fresh
                 # base (live rows only); idempotent on crash-replay
@@ -304,8 +317,8 @@ class CrawlEngine:
                 )
                 cold_paths = [base]
             frontier, qs, strat_persisted = strat.replenish(
-                spark, frontier, qs, host_state, cold_paths,
-                cfg.replenish_chunk, cfg.cold_buckets,
+                spark, frontier, qs, cold_paths, cfg.cold_buckets,
+                snap.aux.get("deficit_buckets", []),
             )
             tick("replenish")
 
@@ -440,7 +453,6 @@ class CrawlEngine:
         unseen = None
         blocked_cand = None
         enq_final = None
-        obs_cblk = Observation(f"cblk_r{r}")
         if cfg.stratified:
             # the fused pass also probes/updates the ever-enqueued filter
             # E: the in-flight cycle break (P11) without touching the
@@ -455,9 +467,10 @@ class CrawlEngine:
             glue_resolved = parts["resolved"].drop("will_block").persist()
             nonhaz = parts["nonhaz"].drop("will_block")
             new_rows = parts["new"].drop("will_block")
-            blocked_cand = parts["blocked"].drop("will_block").observe(
-                obs_cblk, F.count(F.lit(1)).alias("n")
-            )
+            # blocked-at-enqueue counts ride the fused pass's stat rows
+            # (an Observation here would block on the pipelined facts
+            # write, serializing the write overlap)
+            blocked_cand = parts["blocked"].drop("will_block")
             enq_final = enq2
         else:
             seen2, unseen, glue_resolved = seen.insert_and_probe(
@@ -515,7 +528,6 @@ class CrawlEngine:
                 .union(blocked_b.select("url_key"))
                 .union(qmin_b.select(F.col("orig_url_key").alias("url_key")))
             )
-            obs_cblk_b = Observation(f"cblk_b_r{r}")
             blocked_cand_b = None
             unseen_b = None
             if cfg.stratified:
@@ -531,9 +543,7 @@ class CrawlEngine:
                 glue_resolved_b = parts_b["resolved"].drop("will_block").persist()
                 nonhaz_b = parts_b["nonhaz"].drop("will_block")
                 new_b = parts_b["new"].drop("will_block")
-                blocked_cand_b = parts_b["blocked"].drop("will_block").observe(
-                    obs_cblk_b, F.count(F.lit(1)).alias("n")
-                )
+                blocked_cand_b = parts_b["blocked"].drop("will_block")
                 enq_final = enq_b
             else:
                 seen_final, unseen_b, glue_resolved_b = seen2.insert_and_probe(
@@ -556,7 +566,7 @@ class CrawlEngine:
                 "qmin": qmin_b, "candidates": candidates_b,
                 "unseen": unseen_b, "glue_resolved": glue_resolved_b,
                 "nonhaz": nonhaz_b, "new": new_b, "enriched": enriched_b,
-                "blocked_cand": blocked_cand_b, "obs_cblk": obs_cblk_b,
+                "blocked_cand": blocked_cand_b,
                 "obs_fetched": obs_fetched_b, "obs_term": obs_term_b,
                 "obs_qmin": obs_qmin_b, "obs_blocked": obs_blocked_b,
             }
@@ -675,16 +685,16 @@ class CrawlEngine:
         routed_cache = None
         obs_hot = obs_coldadd = obs_qs = None
         part_by: dict[str, list[str]] = {}
-        if cfg.stratified:
+        if cold_active:
             routed_cache, to_hot, to_cold, qs3 = strat.route(
-                frontier2, qs, cfg.cold_buckets
+                frontier2, qs, host_state, cfg.cold_buckets, cfg.replenish_chunk
             )
             obs_hot = Observation(f"hot_r{r}")
             frontier2 = to_hot.observe(obs_hot, F.count(F.lit(1)).alias("n"))
             obs_coldadd = Observation(f"coldadd_r{r}")
             to_cold = to_cold.observe(obs_coldadd, F.count(F.lit(1)).alias("n"))
             obs_qs = Observation(f"qs_r{r}")
-            qs3 = qs3.observe(obs_qs, F.sum("n_cold").alias("nc"))
+            qs3 = qs3.observe(obs_qs, *strat.deficit_obs_exprs(cfg.cold_buckets))
             phase_a["frontier_cold"] = to_cold
             phase_a["queue_state"] = qs3.coalesce(n_small)
             part_by["frontier_cold"] = ["hbucket"]
@@ -753,18 +763,35 @@ class CrawlEngine:
         n_frontier2 = sum(branch_n.values())
         n_cold_total = None
         if cfg.stratified:
-            # total frontier = hot horizon + live cold backlog (exact
-            # n_cold bookkeeping); branch counts remain the flow metrics
-            n_cold_total = int(obs_qs.get["nc"] or 0)
-            n_frontier2 = int(obs_hot.get["n"]) + n_cold_total
-            n_blocked += int(obs_cblk.get["n"])
+            n_blocked += seen2.last_stats.get("n_blocked_new", 0)
             if wave_b is not None:
-                n_blocked += int(wave_b["obs_cblk"].get["n"])
-            delta_added = int(obs_coldadd.get["n"])
+                n_blocked += seen_final.last_stats.get("n_blocked_new", 0)
+            if cold_active:
+                # total frontier = hot horizon + live cold backlog (exact
+                # n_cold bookkeeping); branch counts stay the flow metrics
+                n_cold_total = int(obs_qs.get["nc"] or 0)
+                n_frontier2 = int(obs_hot.get["n"]) + n_cold_total
+                delta_added = int(obs_coldadd.get["n"])
+                new_cold_paths = cold_paths + (
+                    [nxt.tables["frontier_cold"]] if delta_added else []
+                )
+                deficit_buckets = sorted(
+                    int(b) for b in (obs_qs.get["dbuckets"] or [])
+                )
+                if n_cold_total == 0:
+                    new_cold_paths = []  # all dead — drop the references
+            else:
+                # drained mode: frontier2 was written whole as hot; the
+                # untouched queue_state is referenced, not rewritten
+                n_cold_total = 0
+                new_cold_paths = []
+                deficit_buckets = []
+                if "queue_state" in snap.tables:
+                    nxt.tables["queue_state"] = snap.tables["queue_state"]
             nxt.aux = {
-                "cold_paths": cold_paths
-                + ([nxt.tables["frontier_cold"]] if delta_added else []),
+                "cold_paths": new_cold_paths,
                 "enqueued": enq_final.to_manifest(),
+                "deficit_buckets": deficit_buckets,
             }
         lineage = []
         if cfg.collect_lineage:

@@ -167,6 +167,28 @@ def test_queue_state_accounting(engine_run, spark):
         assert live == n_cold, f"round {rr}: live {live} != n_cold {n_cold}"
 
 
+def test_drained_mode_collapses(engine_run):
+    """Once every host's cold side is empty it can never regrow (route
+    only spills while n_cold > 0), so later rounds must drop the cold
+    machinery: no cold paths, queue_state referenced (copy-on-write)
+    instead of rewritten."""
+    eng, final = engine_run
+    hist = eng.store.history()
+    drained = [
+        rr for rr in hist
+        if eng.store.load(rr).metrics.get("n_cold_backlog") == 0
+    ]
+    assert drained, "fixture crawl must drain its cold backlog"
+    r0 = min(drained)
+    assert r0 < final.round, "drain must happen before the last round"
+    prev_qs = eng.store.load(r0).tables["queue_state"]
+    for rr in hist:
+        if rr > r0:
+            s = eng.store.load(rr)
+            assert s.aux.get("cold_paths", []) == []
+            assert s.tables["queue_state"] == prev_qs  # referenced, not rewritten
+
+
 def test_resume_equals_uninterrupted(spark, tmp_path_factory, oracle_result):
     """Crash after round 2, resume with a fresh engine: identical final
     state — cold paths + queue state + E filter all round-trip through

@@ -24,8 +24,13 @@ def _rows(spark, specs):
 
 
 def _qs(spark, rows):
-    """rows: (host, (p, d, u) | None, n_cold)."""
+    """rows: (host, (p, d, u) | None, n_cold, n_hot, deficit, pull_t)."""
     return spark.createDataFrame(list(rows), strat.QUEUE_STATE_SCHEMA)
+
+
+def _hs(spark, rows):
+    """rows: (host, burst)."""
+    return spark.createDataFrame(list(rows), "host string, burst double")
 
 
 def test_route_splits_on_watermark(spark):
@@ -37,8 +42,9 @@ def test_route_splits_on_watermark(spark):
             ("http://b.com/p5", 5, 0),   # no qs row (n_cold 0) -> hot + raise
         ],
     )
-    qs = _qs(spark, [("a.com", (2, 0, "zzz"), 3)])
-    j, to_hot, to_cold, qs3 = strat.route(rows, qs, n_buckets=8)
+    qs = _qs(spark, [("a.com", (2, 0, "zzz"), 3, 1, False, None)])
+    hs = _hs(spark, [("a.com", 2.0), ("b.com", 2.0)])
+    j, to_hot, to_cold, qs3 = strat.route(rows, qs, hs, n_buckets=8, chunk=4)
     hot = {r["url"] for r in to_hot.collect()}
     cold = {r["url"] for r in to_cold.collect()}
     assert hot == {"http://a.com/p1", "http://b.com/p5"}
@@ -46,16 +52,23 @@ def test_route_splits_on_watermark(spark):
     state = {r["host"]: r for r in qs3.collect()}
     assert state["a.com"]["n_cold"] == 4  # 3 + 1 appended
     assert state["a.com"]["w"] == (2, 0, "zzz")  # unchanged (cold nonempty)
-    # new host: W raised over its hot row, n_cold 0
+    # next round's hot counts are precomputed at write time
+    assert state["a.com"]["n_hot"] == 1
+    # deficit: n_hot(1) < ceil(burst)(2) and cold rows remain
+    assert state["a.com"]["deficit"] is True
+    assert state["a.com"]["pull_t"] == 4 * 2 - 1
+    # new host: W raised over its hot row, no cold -> never deficit
     assert state["b.com"]["n_cold"] == 0
     assert tuple(state["b.com"]["w"]) == (5, 0, "http://b.com/p5")
+    assert state["b.com"]["deficit"] is False
     j.unpersist()
 
 
 def test_route_null_watermark_means_minus_inf(spark):
     rows = _rows(spark, [("http://a.com/p0", 0, 0)])
-    qs = _qs(spark, [("a.com", None, 2)])  # cold nonempty, W = -inf
-    j, to_hot, to_cold, qs3 = strat.route(rows, qs, n_buckets=8)
+    qs = _qs(spark, [("a.com", None, 2, 0, True, 4)])  # cold nonempty, W = -inf
+    hs = _hs(spark, [("a.com", 1.0)])
+    j, to_hot, to_cold, qs3 = strat.route(rows, qs, hs, n_buckets=8, chunk=4)
     assert to_hot.count() == 0  # everything sorts above -inf -> cold
     assert to_cold.count() == 1
     assert {r["n_cold"] for r in qs3.collect()} == {3}
@@ -63,18 +76,16 @@ def test_route_null_watermark_means_minus_inf(spark):
 
 
 def test_replenish_no_deficit_is_identity(spark, tmp_path):
-    """A host whose hot count covers ceil(burst) pulls nothing — and the
-    early return means the round never even reads cold."""
+    """An empty deficit-bucket list (precomputed by the previous round's
+    routing) short-circuits replenish — the round never reads cold."""
     hot = _rows(spark, [("http://a.com/p1", 1, 0), ("http://a.com/p2", 2, 0)])
-    qs = _qs(spark, [("a.com", (2, 0, "http://a.com/p2"), 5)])
-    hs = spark.createDataFrame([("a.com", 2.0)], "host string, burst double")
+    qs = _qs(spark, [("a.com", (2, 0, "http://a.com/p2"), 5, 2, False, None)])
     cold_dir = str(tmp_path / "cold")
-    # cold exists on disk but must not be read
     _rows(spark, [("http://a.com/p7", 7, 0)]).withColumn(
         "hbucket", strat.hbucket_col(F.col("host"), 8)
     ).write.partitionBy("hbucket").parquet(cold_dir)
     hot2, qs2, persisted = strat.replenish(
-        spark, hot, qs, hs, [cold_dir], chunk=4, n_buckets=8
+        spark, hot, qs, [cold_dir], n_buckets=8, deficit_buckets=[]
     )
     assert hot2 is hot and qs2 is qs and persisted == []
 
@@ -88,19 +99,36 @@ def test_replenish_pulls_top_chunk_and_advances_w(spark, tmp_path):
     cold_dir = str(tmp_path / "cold")
     cold_rows.write.partitionBy("hbucket").parquet(cold_dir)
     hot = spark.createDataFrame([], cold_rows.drop("hbucket").schema)
-    qs = _qs(spark, [("a.com", (4, 0, "zzz"), 10)])  # 10 live (the dead row is not counted)
-    hs = spark.createDataFrame([("a.com", 2.0)], "host string, burst double")
+    # deficit + pull_t precomputed by the previous round: pull top-4
+    qs = _qs(spark, [("a.com", (4, 0, "zzz"), 10, 0, True, 4)])
+    buckets = [
+        r["b"]
+        for r in qs.select(strat.hbucket_col(F.col("host"), 8).alias("b")).collect()
+    ]
     hot2, qs2, persisted = strat.replenish(
-        spark, hot, qs, hs, [cold_dir], chunk=2, n_buckets=8
+        spark, hot, qs, [cold_dir], n_buckets=8, deficit_buckets=buckets
     )
     pulled = sorted(r["url"] for r in hot2.collect())
-    # pull_t = chunk*ceil(burst) - n_hot = 2*2 - 0 = 4 -> top-4 by (p,d,u)
     assert pulled == [f"http://a.com/p{i}" for i in range(4)]
     st = {r["host"]: r for r in qs2.collect()}
     assert st["a.com"]["n_cold"] == 6
     assert tuple(st["a.com"]["w"]) == (5, 3, "http://a.com/p3")
     for df in persisted:
         df.unpersist()
+
+
+def test_initial_queue_state_marks_all_deficit(spark):
+    seeds = _rows(
+        spark, [("http://a.com/p1", 0, 0), ("http://a.com/p2", 0, 0),
+                ("http://b.com/p3", 0, 0)]
+    )
+    hs = _hs(spark, [("a.com", 3.5)])  # b.com absent -> burst default 1
+    qs0 = strat.initial_queue_state(seeds, hs, chunk=4)
+    st = {r["host"]: r for r in qs0.collect()}
+    assert st["a.com"]["n_cold"] == 2 and st["a.com"]["deficit"] is True
+    assert st["a.com"]["pull_t"] == 4 * 4  # ceil(3.5) = 4
+    assert st["b.com"]["pull_t"] == 4 * 1
+    assert all(r["w"] is None and r["n_hot"] == 0 for r in st.values())
 
 
 def test_cold_read_prunes_to_deficit_buckets(spark, tmp_path):
@@ -131,7 +159,8 @@ def test_compact_drops_dead_rows(spark, tmp_path):
     ).withColumn("hbucket", strat.hbucket_col(F.col("host"), 8))
     cold_dir = str(tmp_path / "cold")
     rows.write.partitionBy("hbucket").parquet(cold_dir)
-    qs = _qs(spark, [("a.com", (5, 0, "m"), 1), ("b.com", None, 1)])
+    qs = _qs(spark, [("a.com", (5, 0, "m"), 1, 0, True, 4),
+                     ("b.com", None, 1, 0, True, 4)])
     live = strat.compact_cold(spark, qs, [cold_dir])
     assert {r["url"] for r in live.collect()} == {
         "http://a.com/live", "http://b.com/live"
