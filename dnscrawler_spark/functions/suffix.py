@@ -32,15 +32,23 @@ from __future__ import annotations
 
 import gzip
 from functools import lru_cache
-from pathlib import Path
-
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-_PSL_PATH = Path(__file__).resolve().parent.parent / "data" / "public_suffix_list.dat.gz"
+def _psl_bytes() -> bytes:
+    """The embedded PSL snapshot, via importlib.resources so it loads
+    identically from a source checkout AND from a spark-submit
+    --py-files zip (zipimport has no real __file__ paths)."""
+    from importlib import resources
+
+    return (
+        resources.files("dnscrawler_spark")
+        .joinpath("data/public_suffix_list.dat.gz")
+        .read_bytes()
+    )
 
 # fixture-topology extra rules (synthetic web uses img.ps as its
 # public-suffix-tree apex; the real PSL carries ps but not img.ps)
@@ -58,8 +66,10 @@ def _load_rules() -> tuple[frozenset[str], frozenset[str], frozenset[str]]:
     ``*.foo.bar`` is stored as base ``foo.bar`` in the wildcard set;
     ``!www.ck`` as ``www.ck`` in the exception set. ICANN + private
     sections are both kept (tldextract's default)."""
+    import io
+
     normal, wild, exc = set(EXTRA_RULES), set(), set()
-    with gzip.open(_PSL_PATH, "rt", encoding="utf-8") as fh:
+    with gzip.open(io.BytesIO(_psl_bytes()), "rt", encoding="utf-8") as fh:
         for line in fh:
             rule = line.strip().lower()
             if not rule or rule.startswith("//"):

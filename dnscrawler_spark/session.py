@@ -19,6 +19,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    from_submit: bool = False,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
@@ -26,21 +27,30 @@ def get_spark(
       the engine's explicit host-salting (SURVEY.md §4.2).
     - Arrow on: every custom operator is an Arrow-batched pandas UDF.
     - UTC session TZ: parity with the DuckDB oracle (UTC-naive ts).
+    - ``from_submit=True`` (cluster entrypoints under spark-submit):
+      master, executor sizing, and driver memory belong to the submit
+      flags — the builder must not override them.
     """
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         if cpus:
             shuffle_partitions = int(cpus)
+        elif from_submit:
+            shuffle_partitions = 200
         elif master.startswith("local["):
             inner = master[len("local[") : -1]
             shuffle_partitions = os.cpu_count() if inner == "*" else int(inner)
         else:
             shuffle_partitions = 200
 
+    builder = SparkSession.builder.appName(app_name)
+    if not from_submit:
+        builder = builder.master(master).config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -54,7 +64,6 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # a broadcast build job can queue behind a multi-minute Python
         # fetch stage when task slots are scarce (pinned 2-core scaling

@@ -242,6 +242,22 @@ def test_two_wave_stratified_parity(spark, tmp_path_factory, corpus):
     assert eng.crawl_trace(final) == ores.trace
 
 
+def test_pipelined_stratified_parity(spark, tmp_path_factory, oracle_result):
+    """stratified + pipeline_writes — the bench's exact configuration —
+    must produce the identical crawl (writes overlapped with the next
+    round's compute change durability timing only)."""
+    root = str(tmp_path_factory.mktemp("strat_pipe"))
+    pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
+    hs = datagen.generate_host_state(pages)
+    eng = CrawlEngine(spark, pages, root, _cfg(pipeline_writes=True))
+    snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
+    final = eng.run(snap)  # run() flushes pending writes
+    assert {r["url"] for r in eng.seen_urls(final).collect()} == oracle_result.seen
+    assert eng.crawl_trace(final) == oracle_result.trace
+    eng2 = CrawlEngine(spark, pages, root, _cfg(pipeline_writes=True))
+    assert eng2.resume().round == final.round
+
+
 def test_synthetic_fetch_stratified_parity(spark, tmp_path_factory, oracle_result):
     root = str(tmp_path_factory.mktemp("strat_synth"))
     cfg = _cfg(fetch_mode="synthetic", n_pages=N)

@@ -1,0 +1,73 @@
+"""Deployment-shape test (north_rule: 'runs via spark-submit --py-files
+on multi-executor clusters'): package the engine as a zip, copy ONLY the
+zip + the entry script to a scratch dir, scrub the repo from PYTHONPATH,
+and spark-submit a real crawl — every import (including the embedded
+public-suffix data, via importlib.resources) must resolve from the zip
+exactly as it would on a remote executor. The crawl's final seen-set
+size must match the pure-Python oracle."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = os.path.join(os.path.dirname(sys.executable), "spark-submit")
+
+N = 240
+N_SEEDS = 5
+MAX_ROUNDS = 8
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not available"
+)
+def test_spark_submit_pyfiles_crawl(tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import make_pyfiles
+
+    zip_path = make_pyfiles.build(str(tmp_path / "dnscrawler_spark.zip"))
+    script = str(tmp_path / "submit_crawl.py")
+    shutil.copy(os.path.join(REPO, "scripts", "submit_crawl.py"), script)
+    root = str(tmp_path / "crawl_root")
+
+    env = dict(os.environ)
+    # the engine must come from the ZIP, not the checkout
+    env["PYTHONPATH"] = ""
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            script,
+            "--root", root,
+            "--n-pages", str(N),
+            "--n-seeds", str(N_SEEDS),
+            "--max-rounds", str(MAX_ROUNDS),
+            "--stratified",
+        ],
+        cwd=str(tmp_path),  # no repo-relative imports possible
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    from dnscrawler_spark import datagen
+    from dnscrawler_spark.oracle import crawler as oracle
+
+    n_hosts = datagen.default_n_hosts(N)
+    corpus = [datagen.page_row(i, 42, N, n_hosts) for i in range(N)]
+    ores = oracle.crawl(
+        corpus, datagen.seed_urls(N_SEEDS, N, seed=42), max_rounds=MAX_ROUNDS
+    )
+    assert out["urls_seen"] == len(ores.seen)
+    assert out["rounds"] >= 1
