@@ -55,6 +55,25 @@ RATE_SCALE = float(os.environ.get("SPARK_GRAFT_BENCH_RATE", "2000"))
 STRATIFIED = os.environ.get("SPARK_GRAFT_BENCH_STRATIFIED", "1") == "1"
 GEN_SEED = 42
 
+SEEN_SHARDS = 32
+
+
+def _pow2_at_least(x: int) -> int:
+    return 1 << max(0, (int(x) - 1).bit_length())
+
+
+# Filter capacity must track the KEY SPACE, not a constant: the
+# ever-enqueued filter (stratified) holds every enqueued URL — at 4M
+# seeds the old fixed 2^15-bucket cuckoo ran at ~95% load per shard,
+# which means Python-side eviction storms on insert and degraded shards
+# forcing tier-3 confirms on every probe (measured: 409 s vs 125 s for
+# the same crawl). Size for <=25% cuckoo load and ~16 bloom bits/key;
+# per-shard state stays a few MB — at 10^10 keys you raise n_shards
+# instead (the documented scale path), keeping per-task state bounded.
+_exp_keys_per_shard = max(1, (N_SEEDS * 3) // SEEN_SHARDS)
+SEEN_BITS = max(1 << 20, _pow2_at_least(_exp_keys_per_shard * 16))
+SEEN_BUCKETS = max(1 << 15, _pow2_at_least(_exp_keys_per_shard))
+
 
 def _cpus() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -124,7 +143,11 @@ def run_crawl(spark) -> dict:
         cfg = CrawlConfig(
             max_rounds=MAX_ROUNDS,
             partitions=n,
-            seen_shards=32,  # fixed state layout across parallelism levels
+            # fixed state layout across parallelism levels; capacity
+            # auto-sized to the seed scale (see SEEN_BITS above)
+            seen_shards=SEEN_SHARDS,
+            seen_bits=SEEN_BITS,
+            seen_buckets=SEEN_BUCKETS,
             collect_lineage=False,
             verify_payloads=True,
             fetch_mode="synthetic",  # per-URL outbound fetch, no corpus join
@@ -150,7 +173,8 @@ def run_crawl(spark) -> dict:
             # steady-state throughput is the honest metric.
             wroot = tempfile.mkdtemp(prefix="bench_warm_")
             wcfg = CrawlConfig(
-                max_rounds=1, partitions=n, seen_shards=32,
+                max_rounds=1, partitions=n, seen_shards=SEEN_SHARDS,
+                seen_bits=SEEN_BITS, seen_buckets=SEEN_BUCKETS,
                 collect_lineage=False, verify_payloads=True,
                 fetch_mode="synthetic", px_scale=PX_SCALE,
                 n_pages=N_PAGES, n_hosts=n_hosts, pipeline_writes=True,

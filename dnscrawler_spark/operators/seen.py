@@ -241,14 +241,45 @@ class _Shard:
         )
 
     def cuckoo_insert(self, keys: np.ndarray) -> None:
-        """Bulk insert: vectorized placement passes, then scalar eviction
-        only for stragglers. Duplicate keys are the caller's problem
-        (insert() dedups first)."""
+        """Bulk insert: vectorized placement passes (place the first key
+        per distinct bucket into its first empty slot, repeat), then the
+        scalar eviction-kick loop ONLY for stragglers. At the designed
+        ≤25% load ~99% of keys place in the vectorized passes — the old
+        per-key Python loop cost ~O(n) interpreter time per shard per
+        round, which dominated large seed-set inserts. Placement order
+        differs from the sequential algorithm but observable semantics
+        don't: inserted keys always probe positive via (b1, b2), and
+        false-positive pattern differences are absorbed by the tier-3
+        exact confirm. Duplicate keys are the caller's problem (insert()
+        dedups first)."""
         fp, i1, i2 = self._cuckoo_slots(_u64(keys))
         present = ((self.table[i1] == fp[:, None]).any(axis=1)) | (
             (self.table[i2] == fp[:, None]).any(axis=1)
         )
-        todo = np.flatnonzero(~present)
+        n_new = int((~present).sum())
+        remaining = np.flatnonzero(~present)
+        for _ in range(8):
+            if remaining.size == 0:
+                break
+            placed_any = False
+            for buckets in (i1, i2):
+                if remaining.size == 0:
+                    break
+                b = buckets[remaining]
+                ub, first_idx = np.unique(b, return_index=True)
+                cand = remaining[first_idx]
+                tbl = self.table[ub]
+                has_empty = (tbl == 0).any(axis=1)
+                if has_empty.any():
+                    slot = (tbl == 0).argmax(axis=1)
+                    self.table[ub[has_empty], slot[has_empty]] = fp[cand[has_empty]]
+                    placed = np.zeros(remaining.size, dtype=bool)
+                    placed[first_idx[has_empty]] = True
+                    remaining = remaining[~placed]
+                    placed_any = True
+            if not placed_any:
+                break
+        todo = remaining
         rng = np.random.Generator(np.random.Philox(key=[self.n_items & 0xFFFFFFFF, 7]))
         for j in todo.tolist():
             f, b1, b2 = int(fp[j]), int(i1[j]), int(i2[j])
@@ -279,7 +310,7 @@ class _Shard:
             if not placed:
                 # overflow: shard degrades — bloom-maybes must go exact
                 self.degraded = True
-        self.n_items += int(todo.size)
+        self.n_items += n_new
 
 
 class SeenFilter:
