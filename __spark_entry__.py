@@ -484,13 +484,13 @@ def q_crawl_failure_detail(spark, sf):
     # dump the oracle's raw failure records for the DuckDB side
     os.makedirs(_ORACLE_DUMP_DIR, exist_ok=True)
     rows = [
-        (seed, cls, url, rnd, att)
+        (seed, cls, url, src, code, rnd, att)
         for seed, classes in ores.failure_detail.items()
         for cls, items in classes.items()
-        for (url, rnd, att) in items
+        for (url, src, code, rnd, att) in items
     ]
     pd.DataFrame(
-        rows, columns=["seed", "fail_class", "url", "round", "attempts"]
+        rows, columns=["seed", "fail_class", "url", "src", "code", "round", "attempts"]
     ).astype({"round": "int64", "attempts": "int64"}).to_parquet(
         os.path.join(_ORACLE_DUMP_DIR, "failure_detail_oracle.parquet"), index=False
     )
@@ -502,6 +502,8 @@ def q_crawl_failure_detail(spark, sf):
         "seed",
         "fail_class",
         F.col("it.url").alias("url"),
+        F.col("it.src").alias("src"),
+        F.col("it.code").alias("code"),
         F.col("it.round").cast("long").alias("round"),
         F.col("it.attempts").cast("long").alias("attempts"),
     )
@@ -924,7 +926,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "crawl_failure_detail": """
-            SELECT seed, fail_class, url, round, attempts
+            SELECT seed, fail_class, url, src, code, round, attempts
             FROM read_parquet('/tmp/dnscrawler_spark_probe/failure_detail_oracle.parquet')
         """,
         # engine-vs-oracle per-seed facts parity (NOTES_r2 #3): re-pivot

@@ -53,6 +53,13 @@ RATE_SCALE = float(os.environ.get("SPARK_GRAFT_BENCH_RATE", "2000"))
 # bench shape (drain +23%, politeness-bound backlog +28..40%) AND it is
 # the architecture that holds at a 10^10-row backlog (BENCH.md §5).
 STRATIFIED = os.environ.get("SPARK_GRAFT_BENCH_STRATIFIED", "1") == "1"
+# Engine DEFAULT is two_wave=True (the reference runs two waves
+# unconditionally, dnsresolver_new.py:210). The bench headline keeps
+# single-wave so throughput stays comparable with rounds 1-2 and the
+# scaling pair measures ONE wave's machinery; a wave-B sub-round is the
+# same machinery run twice per round (parity: tests/test_stratified.py
+# test_two_wave_stratified_parity). Set =1 to measure the two-wave shape.
+TWO_WAVE = os.environ.get("SPARK_GRAFT_BENCH_TWO_WAVE", "0") == "1"
 GEN_SEED = 42
 
 SEEN_SHARDS = 32
@@ -156,6 +163,7 @@ def run_crawl(spark) -> dict:
             n_hosts=n_hosts,
             pipeline_writes=True,  # fetched/facts writes overlap next round
             stratified=STRATIFIED,
+            two_wave=TWO_WAVE,
         )
         eng = CrawlEngine(spark, None, root, cfg)
         # seed set built distributed — never transits the driver
@@ -178,7 +186,7 @@ def run_crawl(spark) -> dict:
                 collect_lineage=False, verify_payloads=True,
                 fetch_mode="synthetic", px_scale=PX_SCALE,
                 n_pages=N_PAGES, n_hosts=n_hosts, pipeline_writes=True,
-                stratified=STRATIFIED,
+                stratified=STRATIFIED, two_wave=TWO_WAVE,
             )
             weng = CrawlEngine(spark, None, wroot, wcfg)
             wseeds = datagen.seed_urls_df(spark, 500, N_PAGES, seed=GEN_SEED + 1, n_hosts=n_hosts)

@@ -43,9 +43,13 @@ FACTS_SCHEMA = T.StructType(
         T.StructField("seed", T.StringType(), False),
         T.StructField("kind", T.StringType(), False),
         T.StructField("value", T.StringType(), False),
-        # failure rows carry the attempt count (QuerySummaryList detail,
-        # /root/reference/dnscrawler/querysummarylist.py:4-9); null else
+        # failure rows carry the attempt count plus the probe target and
+        # response-code analogs (QuerySummary detail: name / nameserver /
+        # rcodes, /root/reference/dnscrawler/querysummary.py:3-9,
+        # querysummarylist.py:4-9); null on non-failure rows
         T.StructField("attempts", T.IntegerType(), True),
+        T.StructField("src", T.StringType(), True),
+        T.StructField("code", T.StringType(), True),
     ]
 )
 
@@ -133,12 +137,13 @@ def fetch_synthetic(
             T.StructField("tld", T.StringType(), True),
             T.StructField("sld", T.StringType(), True),
             T.StructField("qmin_fallback", T.StringType(), True),
+            T.StructField("fail_code", T.StringType(), True),
         ]
     )
 
     def run(batches):
         for pdf in batches:
-            out_rows, ok, tlds, slds, qfb = [], [], [], [], []
+            out_rows, ok, tlds, slds, qfb, fcs = [], [], [], [], [], []
             for url, host in zip(pdf["url"], pdf["host"]):
                 i = _url_page_index(url)
                 if (
@@ -151,6 +156,9 @@ def fetch_synthetic(
                     tlds.append(None)
                     slds.append(None)
                     qfb.append(datagen.qmin_fallback_url(url, gen_seed))
+                    # the miss's response code (rcode analog) — computed
+                    # here so classification downstream stays Python-free
+                    fcs.append(datagen.fail_code(url, gen_seed))
                     continue
                 row = datagen.page_row(i, gen_seed, n_pages, n_hosts, px_scale)
                 if verify:
@@ -167,6 +175,7 @@ def fetch_synthetic(
                 tlds.append(t)
                 slds.append(s)
                 qfb.append(None)
+                fcs.append(None)
             res = pdf.copy()
             for name in slim_names:
                 res[name] = [r[name] if r else None for r in out_rows]
@@ -175,6 +184,7 @@ def fetch_synthetic(
             res["tld"] = tlds
             res["sld"] = slds
             res["qmin_fallback"] = qfb
+            res["fail_code"] = fcs
             yield res
 
     return admitted.mapInPandas(run, schema)
@@ -244,6 +254,7 @@ def classify_misses(
         # precomputed inside the fetch's Python stage (synthetic mode):
         # zero extra Python here
         fallback_col = F.coalesce(F.col("qmin_fallback"), F.lit(""))
+        code_col = F.col("fail_code")
     else:
         from pyspark.sql.functions import pandas_udf
 
@@ -253,7 +264,15 @@ def classify_misses(
 
             return url.map(lambda u: qmin_fallback_url(u, gen_seed) or "")
 
+        @pandas_udf(T.StringType())
+        def code_of(url: pd.Series) -> pd.Series:
+            from dnscrawler_spark.datagen import fail_code
+
+            return url.map(lambda u: fail_code(u, gen_seed))
+
         fallback_col = fallback(F.col("url"))
+        code_col = code_of(F.col("url"))
+    terminal = terminal.withColumn("fail_code", code_col)
 
     qmin = (
         labeled.filter(F.col("fail_class") == "qmin")
@@ -425,19 +444,26 @@ def fetched_facts(fetched: DataFrame, round_no: int) -> DataFrame:
         .alias("kind"),
         F.lower(F.col("f.value")).alias("value"),
         F.lit(None).cast("int").alias("attempts"),
+        F.lit(None).cast("string").alias("src"),
+        F.lit(None).cast("string").alias("code"),
     )
 
 
 def failure_facts(terminal: DataFrame, round_no: int) -> DataFrame:
-    """hazardous/misconfigured fact rows (A3), carrying the attempt count
-    so results() can rebuild the grouped QuerySummaryList shape
-    (/root/reference/dnscrawler/querysummarylist.py:4-9)."""
+    """hazardous/misconfigured fact rows (A3), carrying the full
+    QuerySummary detail — attempts, the probed host (``src``, the
+    nameserver analog) and the deterministic response code (``code``,
+    the rcodes analog) — so results() can rebuild the grouped
+    QuerySummaryList shape (/root/reference/dnscrawler/
+    querysummary.py:3-9, querysummarylist.py:4-9)."""
     return terminal.select(
         F.lit(round_no).alias("round"),
         F.col("seed"),
         F.col("fail_class").alias("kind"),
         F.col("url").alias("value"),
         F.col("attempts").cast("int").alias("attempts"),
+        F.col("host").alias("src"),
+        F.col("fail_code").alias("code"),
     )
 
 
@@ -448,4 +474,6 @@ def simple_facts(df: DataFrame, kind: str, round_no: int) -> DataFrame:
         F.lit(kind).alias("kind"),
         F.col("url").alias("value"),
         F.lit(None).cast("int").alias("attempts"),
+        F.lit(None).cast("string").alias("src"),
+        F.lit(None).cast("string").alias("code"),
     )

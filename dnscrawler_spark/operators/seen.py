@@ -561,10 +561,13 @@ class SeenFilter:
             ins = pdf.loc[pdf["role"] == 0, "url_key"].to_numpy(dtype=np.int64)
             prb = pdf.loc[pdf["role"] >= 1, "url_key"].to_numpy(dtype=np.int64)
             roles = pdf.loc[pdf["role"] >= 1, "role"].to_numpy(dtype=np.int32)
+            # explicit nullable-boolean dtype first: .fillna on the raw
+            # (object-dtype) Arrow column emits the pandas object-downcast
+            # FutureWarning in this round-critical pass (VERDICT r2 #8)
             wb = (
                 pdf.loc[pdf["role"] >= 1, "will_block"]
-                .fillna(False)
-                .to_numpy(dtype=bool)
+                .astype("boolean")
+                .to_numpy(dtype=bool, na_value=False)
             )
             prev = paths.get(sid)
             shard = (
@@ -768,6 +771,19 @@ class SeenFilter:
             # an Observation here would block on the (possibly pipelined)
             # facts write — this is free and available immediately
             "n_blocked_new": sum(int(row["n_blocked_new"] or 0) for row in stats),
+            # per-shard-partition lineage rows (north_rule): free — these
+            # ARE the stats the one action already collected
+            "shards": sorted(
+                (
+                    {
+                        "shard_id": int(row["shard_id"]),
+                        "n_items": int(row["n_items"] or 0),
+                        "degraded": bool(row["degraded"]),
+                    }
+                    for row in stats
+                ),
+                key=lambda s: s["shard_id"],
+            ),
         }
         new_filter._persisted = self._persisted  # release() covers both
 

@@ -122,14 +122,20 @@ def read_cold(spark: SparkSession, cold_paths: list[str]) -> DataFrame:
 
 def deficit_obs_exprs(n_buckets: int):
     """Aggregate expressions attached (via Observation) to the
-    queue_state write: total live cold rows, and the distinct hbuckets
-    of next round's deficit hosts — the driver learns WHICH cold
-    partitions to read without running any extra job."""
+    queue_state write: total live cold rows, the distinct hbuckets of
+    next round's deficit hosts — the driver learns WHICH cold partitions
+    to read without running any extra job — and the next round's
+    active-host count (hot or deficit), which decides whether the
+    politeness policy can be pruned-and-broadcast or must shuffle-join
+    (rounds.py, VERDICT r2 #1)."""
     return [
         F.sum("n_cold").alias("nc"),
         F.collect_set(
             F.when(F.col("deficit"), hbucket_col(F.col("host"), n_buckets))
         ).alias("dbuckets"),
+        F.sum((F.col("deficit") | (F.col("n_hot") > 0)).cast("long")).alias(
+            "nactive"
+        ),
     ]
 
 

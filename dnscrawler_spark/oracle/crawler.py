@@ -24,7 +24,7 @@ import math
 from collections import defaultdict
 from dataclasses import dataclass, field
 
-from dnscrawler_spark.datagen import host_policy, qmin_fallback_url
+from dnscrawler_spark.datagen import fail_code, host_policy, qmin_fallback_url
 from dnscrawler_spark.functions.canon import canonicalize_url, host_of_url, path_of_url
 from dnscrawler_spark.functions.suffix import extract, is_ps_host
 
@@ -38,9 +38,12 @@ class OracleResult:
     # (round, host, priority, depth, url) — the digest parity object
     trace_full: list[tuple[int, str, int, int, str]] = field(default_factory=list)
     facts: dict[str, dict[str, set[str]]] = field(default_factory=dict)  # seed→kind→values
-    # seed → fail_class → [(url, round, attempts)] — the QuerySummaryList
-    # analog (/root/reference/dnscrawler/querysummarylist.py:4-9)
-    failure_detail: dict[str, dict[str, list[tuple[str, int, int]]]] = field(
+    # seed → fail_class → [(url, src, code, round, attempts)] — the
+    # QuerySummaryList analog with the full QuerySummary fields: name /
+    # nameserver / rcodes (/root/reference/dnscrawler/querysummary.py:3-9,
+    # querysummarylist.py:4-9). ``src`` = the probed host (nameserver
+    # analog), ``code`` = the deterministic response code (rcodes analog).
+    failure_detail: dict[str, dict[str, list[tuple[str, str, str, int, int]]]] = field(
         default_factory=dict
     )
     rounds: int = 0
@@ -48,9 +51,11 @@ class OracleResult:
     def fact(self, seed: str, kind: str, value: str) -> None:
         self.facts.setdefault(seed, defaultdict(set))[kind].add(value)
 
-    def failure(self, seed: str, cls: str, url: str, rnd: int, attempts: int) -> None:
+    def failure(
+        self, seed: str, cls: str, url: str, src: str, code: str, rnd: int, attempts: int
+    ) -> None:
         self.failure_detail.setdefault(seed, defaultdict(list))[cls].append(
-            (url, rnd, attempts)
+            (url, src, code, rnd, attempts)
         )
 
 
@@ -75,7 +80,10 @@ def crawl(
     max_rounds: int = 64,
     gen_seed: int = 42,
     seed_budget: int | None = None,
-    two_wave: bool = False,
+    # the reference runs two waves unconditionally (dnsresolver_new.py:
+    # 210 `for i in range(2)`) — two-wave is the reference-faithful
+    # default; single-wave remains available for the leaner loop
+    two_wave: bool = True,
 ) -> OracleResult:
     by_url = {p["url"]: p for p in pages}
     hosts = sorted({p["host"] for p in pages})
@@ -144,7 +152,10 @@ def crawl(
                 last_label = e.host.rsplit(".", 1)[-1]
                 if last_label.isdigit():
                     res.fact(e.seed, "ip_ns_records", e.url)
-                    res.failure(e.seed, "ip_ns_records", e.url, r, e.attempts)
+                    res.failure(
+                        e.seed, "ip_ns_records", e.url, e.host,
+                        fail_code(e.url, gen_seed), r, e.attempts,
+                    )
                     res.seen.add(e.url)
                 elif "/dead-r/" in e.url and e.attempts == 0:
                     retries.append(
@@ -161,11 +172,17 @@ def crawl(
                         qmin_fallbacks.append((canonicalize_url(fb), e.depth, e.seed))
                 elif e.attempts >= 1:
                     res.fact(e.seed, "missing_ns_records", e.url)
-                    res.failure(e.seed, "missing_ns_records", e.url, r, e.attempts)
+                    res.failure(
+                        e.seed, "missing_ns_records", e.url, e.host,
+                        fail_code(e.url, gen_seed), r, e.attempts,
+                    )
                     res.seen.add(e.url)
                 else:
                     res.fact(e.seed, "hazardous", e.url)
-                    res.failure(e.seed, "hazardous", e.url, r, e.attempts)
+                    res.failure(
+                        e.seed, "hazardous", e.url, e.host,
+                        fail_code(e.url, gen_seed), r, e.attempts,
+                    )
                     res.seen.add(e.url)
             return fetched, retries, qmin_fallbacks
 

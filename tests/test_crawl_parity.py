@@ -34,7 +34,7 @@ def engine_run(spark, tmp_path_factory):
     hs = datagen.generate_host_state(pages)
     cfg = CrawlConfig(
         max_rounds=MAX_ROUNDS, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
-        partitions=4,
+        partitions=4, collect_lineage=True,  # opt-in: admitted breakdown tested below
     )
     eng = CrawlEngine(spark, pages, root, cfg)
     seeds = datagen.seed_urls(N_SEEDS, N, seed=SEED)
@@ -94,7 +94,13 @@ def test_metrics_and_lineage_recorded(engine_run):
     s1 = eng.store.load(1)
     m = s1.metrics
     assert m["n_admitted"] > 0 and m["wall_ms"] > 0
-    assert m["n_admitted"] == sum(l["n_admitted"] for l in s1.lineage)
+    # seen-pass per-shard lineage is always recorded (free: it rides the
+    # fused pass's stats collect)
+    seen_rows = [l for l in s1.lineage if l["stage"].startswith("seen")]
+    assert seen_rows and all("n_items" in l for l in seen_rows)
+    # the opt-in admitted breakdown (collect_lineage=True in the fixture)
+    adm = [l for l in s1.lineage if l["stage"] == "admitted"]
+    assert m["n_admitted"] == sum(l["n_admitted"] for l in adm)
 
 
 def test_synthetic_fetch_parity(spark, tmp_path_factory, oracle_result):
@@ -172,7 +178,10 @@ def test_failure_detail_parity(engine_run, oracle_result):
             for cls, items in oracle_result.failure_detail.get(seed, {}).items()
         }
         got = {
-            cls: sorted((i["url"], i["round"], i["attempts"]) for i in items)
+            cls: sorted(
+                (i["url"], i["src"], i["code"], i["round"], i["attempts"])
+                for i in items
+            )
             for cls, items in mp.items()
         }
         assert got == want, seed
@@ -255,6 +264,7 @@ def test_two_wave_parity(spark, tmp_path_factory, corpus):
     )
     ores1 = oracle.crawl(
         corpus, datagen.seed_urls(N_SEEDS, N, seed=SEED), max_rounds=MAX_ROUNDS,
+        two_wave=False,  # the single-wave reference run for the "moved" check
     )
     pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
     hs = datagen.generate_host_state(pages)
