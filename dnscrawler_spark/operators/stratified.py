@@ -139,6 +139,18 @@ def deficit_obs_exprs(n_buckets: int):
     ]
 
 
+def with_dead_seeds_excluded(rows: DataFrame, dead_seeds: DataFrame | None) -> DataFrame:
+    """Drop rows whose seed is budget-exhausted (CrawlConfig.seed_budget
+    in stratified mode): such rows were demoted to the terminal
+    ``budget_exceeded`` class by the exhaustion-round cold sweep
+    (rounds.py) and are DEAD in place — the physical cold files are
+    append-only, so liveness carries the exclusion. ``dead_seeds`` is
+    the (tiny, broadcast) exhausted-seed dimension; None ⇒ no budget."""
+    if dead_seeds is None:
+        return rows
+    return rows.join(F.broadcast(dead_seeds.select("seed")), "seed", "left_anti")
+
+
 def replenish(
     spark: SparkSession,
     hot: DataFrame,
@@ -146,6 +158,7 @@ def replenish(
     cold_paths: list[str],
     n_buckets: int,
     deficit_buckets: list[int],
+    dead_seeds: DataFrame | None = None,
 ):
     """Pull per-host top-chunks from cold into hot for every deficit
     host, guaranteeing n_hot ≥ this round's politeness budget wherever
@@ -165,7 +178,7 @@ def replenish(
     need = qs.filter(F.col("deficit")).select("host", "w", "pull_t")
     cold = read_cold(spark, cold_paths).filter(F.col("hbucket").isin(deficit_buckets))
     j = cold.drop("hbucket").join(need, "host")
-    live = j.filter(live_pred(F.col("w")))
+    live = with_dead_seeds_excluded(j.filter(live_pred(F.col("w"))), dead_seeds)
     w_rank = Window.partitionBy("host").orderBy("priority", "depth", "url")
     pulled = (
         live.withColumn("rn", F.row_number().over(w_rank))
@@ -195,6 +208,7 @@ def route(
     host_state: DataFrame,
     n_buckets: int,
     chunk: int,
+    dead_seeds: DataFrame | None = None,
 ):
     """Split re-enqueued frontier rows into hot (key ≤ W, or the host
     has no cold rows — W is raised over them) and cold (appended), and
@@ -204,9 +218,17 @@ def route(
     aggregation over the routed cache + one full join with the old
     state + a burst join; no extra jobs next round.
 
-    Returns ``(routed_persisted, to_hot, to_cold, qs3)``; the caller
-    writes to_hot as the next hot table, to_cold as a cold delta
-    (partitioned by hbucket), qs3 as the next queue_state, then
+    ``dead_seeds`` (seed_budget): rows of budget-exhausted seeds go to
+    the ``to_pending`` split instead of hot/cold — they must never
+    enter the append-only cold backlog after the seed's sweep; the next
+    round demotes them (the oracle's round-start check timing). The
+    flag is computed INSIDE the one persisted pass so every split —
+    including pending — reads the same cache (the caller's branch
+    Observations fire exactly once).
+
+    Returns ``(routed_persisted, to_hot, to_cold, to_pending, qs3)``;
+    the caller writes to_hot as the next hot table, to_cold as a cold
+    delta (partitioned by hbucket), qs3 as the next queue_state, then
     unpersists ``routed_persisted``."""
     j = rows.join(
         qs.select(
@@ -214,23 +236,38 @@ def route(
         ),
         "host",
         "left",
-    ).persist()
+    )
+    if dead_seeds is None:
+        j = j.withColumn("_dead", F.lit(False))
+    else:
+        dead_flag = F.broadcast(
+            dead_seeds.select("seed").withColumn("_df", F.lit(True))
+        )
+        j = j.join(dead_flag, "seed", "left").withColumn(
+            "_dead", F.coalesce(F.col("_df"), F.lit(False))
+        ).drop("_df")
+    j = j.persist()
     has_cold = F.coalesce(F.col("_nc"), F.lit(0)) > 0
-    to_cold_pred = has_cold & (F.col("_w").isNull() | (key_struct() > F.col("_w")))
-    to_hot = j.filter(~to_cold_pred).select(*FRONTIER_COLS)
+    alive = ~F.col("_dead")
+    to_cold_pred = (
+        alive & has_cold & (F.col("_w").isNull() | (key_struct() > F.col("_w")))
+    )
+    to_hot_pred = alive & ~to_cold_pred
+    to_hot = j.filter(to_hot_pred).select(*FRONTIER_COLS)
     to_cold = (
         j.filter(to_cold_pred)
         .select(*FRONTIER_COLS)
         .withColumn("hbucket", hbucket_col(F.col("host"), n_buckets))
     )
+    to_pending = j.filter(F.col("_dead")).select(*FRONTIER_COLS)
     # one aggregation: cold appends, hot counts, and the W raise for
     # hosts whose cold side is empty (every row goes hot there — W must
     # cover them, invariant 2; hosts with cold rows only take key ≤ W
     # rows hot, so no raise is needed)
     stats = j.groupBy("host").agg(
         F.sum(to_cold_pred.cast("long")).alias("n_add"),
-        F.sum((~to_cold_pred).cast("long")).alias("n_hot_new"),
-        F.max(F.when(~to_cold_pred & ~has_cold, key_struct())).alias("w_cand"),
+        F.sum(to_hot_pred.cast("long")).alias("n_hot_new"),
+        F.max(F.when(to_hot_pred & ~has_cold, key_struct())).alias("w_cand"),
     )
     qs3 = (
         qs.select("host", "w", "n_cold")
@@ -260,7 +297,7 @@ def route(
         )
         .select("host", "w", "n_cold", "n_hot", "deficit", "pull_t")
     )
-    return j, to_hot, to_cold, qs3
+    return j, to_hot, to_cold, to_pending, qs3
 
 
 def initial_queue_state(clean_seeds: DataFrame, host_state: DataFrame, chunk: int):
@@ -284,14 +321,18 @@ def initial_queue_state(clean_seeds: DataFrame, host_state: DataFrame, chunk: in
     )
 
 
-def compact_cold(spark: SparkSession, qs: DataFrame, cold_paths: list[str]) -> DataFrame:
+def compact_cold(
+    spark: SparkSession,
+    qs: DataFrame,
+    cold_paths: list[str],
+    dead_seeds: DataFrame | None = None,
+) -> DataFrame:
     """Live cold rows across all deltas (dead rows dropped) — written by
     the caller as a single fresh delta replacing the whole list. Run
     when the delta count passes cfg.cold_compact_every: bounds file
     count and replenish-scan fan-in at O(1) deltas amortized."""
     cold = read_cold(spark, cold_paths)
     j = cold.join(qs.select("host", "w"), "host", "left")
-    return (
-        j.filter(live_pred(F.col("w")))
-        .select(*FRONTIER_COLS, "hbucket")
-    )
+    return with_dead_seeds_excluded(
+        j.filter(live_pred(F.col("w"))), dead_seeds
+    ).select(*FRONTIER_COLS, "hbucket")

@@ -141,11 +141,6 @@ class CrawlEngine:
         self._write_pool: ThreadPoolExecutor | None = None
         if self.cfg.partitions is None:
             self.cfg.partitions = spark.sparkContext.defaultParallelism
-        if self.cfg.stratified and self.cfg.seed_budget is not None:
-            # the budget's eager whole-frontier demotion would scan cold
-            # every round (and its round-exact semantics can't be matched
-            # lazily) — see NOTES_r2
-            raise ValueError("stratified frontier does not support seed_budget")
         if self.cfg.fetch_mode == "synthetic":
             if self.cfg.n_pages is None:
                 raise ValueError("synthetic fetch needs cfg.n_pages")
@@ -336,6 +331,20 @@ class CrawlEngine:
             glue = spark.createDataFrame([], X.GLUE_SCHEMA)
         seen = SeenFilter.from_manifest(snap.seen)
 
+        # per-seed budget state (run/run.py:59 analog): the exhausted-seed
+        # dimension is read up front — replenish pulls and cold liveness
+        # must exclude dead seeds' rows (stratified). Tiny by definition.
+        over_budget = None
+        seed_state = None
+        exhausted = None
+        if cfg.seed_budget is not None:
+            seed_state = store.read_table(spark, snap, "seed_state")
+            if seed_state is None:
+                seed_state = spark.createDataFrame([], "seed string, n_fetched long")
+            exhausted = seed_state.filter(
+                F.col("n_fetched") >= cfg.seed_budget
+            ).select("seed").persist()
+
         # stratified frontier: `frontier` is the HOT horizon only; pull
         # per-host chunks from cold for any host that could under-admit
         # (deficit-driven replenish, bucket-pruned cold scan), then rank
@@ -360,32 +369,76 @@ class CrawlEngine:
                 # bound delta-file fan-in: fold all deltas into one fresh
                 # base (live rows only); idempotent on crash-replay
                 base = store.write_table(
-                    strat.compact_cold(spark, qs, cold_paths),
+                    strat.compact_cold(spark, qs, cold_paths, exhausted),
                     r, "frontier_cold_base", partition_by=["hbucket"],
                 )
                 cold_paths = [base]
             frontier, qs, strat_persisted = strat.replenish(
                 spark, frontier, qs, cold_paths, cfg.cold_buckets,
                 snap.aux.get("deficit_buckets", []),
+                dead_seeds=exhausted,
             )
             tick("replenish")
 
         # per-seed budget (run/run.py:59 analog): demote every frontier
         # row of an exhausted seed before politeness. Broadcast-semi on
         # the tiny exhausted-seed dim; zero overhead when budget unset.
-        over_budget = None
-        seed_state = None
+        # Hot rows (incl. this round's replenish pulls) demote here; in
+        # stratified mode the COLD backlog of a newly exhausted seed is
+        # demoted by a one-time exhaustion-round sweep below, and rows
+        # discovered after exhaustion ride the pending_demote table into
+        # the next round — together these reproduce the oracle's
+        # whole-frontier round-start demotion EXACTLY, without touching
+        # cold on budget-quiet rounds.
+        live_dead = None
         if cfg.seed_budget is not None:
-            seed_state = store.read_table(spark, snap, "seed_state")
-            if seed_state is None:
-                seed_state = spark.createDataFrame([], "seed string, n_fetched long")
-            exhausted = seed_state.filter(
-                F.col("n_fetched") >= cfg.seed_budget
-            ).select("seed")
             over_budget = frontier.join(
                 F.broadcast(exhausted), "seed", "left_semi"
-            ).persist()
+            )
             frontier = frontier.join(F.broadcast(exhausted), "seed", "left_anti")
+            if cfg.stratified:
+                pd_tbl = store.read_table(
+                    spark, snap, "pending_demote", FRONTIER_SCHEMA
+                )
+                if pd_tbl is not None:
+                    over_budget = over_budget.unionByName(pd_tbl)
+            if cold_active and snap.aux.get("n_exhausted", 0) > snap.aux.get(
+                "n_swept", 0
+            ):
+                # exhaustion-round cold sweep (amortized-rare: fires only
+                # on rounds where some seed newly crossed its budget):
+                # demote every still-live cold row of the newly exhausted
+                # seeds — they become dead in place (liveness excludes
+                # dead seeds from here on) and n_cold is debited exactly.
+                swept_tbl = store.read_table(spark, snap, "swept_seeds")
+                newly = (
+                    exhausted
+                    if swept_tbl is None
+                    else exhausted.join(swept_tbl, "seed", "left_anti")
+                )
+                live_dead = (
+                    strat.read_cold(spark, cold_paths)
+                    .drop("hbucket")
+                    .join(F.broadcast(newly), "seed", "left_semi")
+                    .join(qs.select("host", "w"), "host", "left")
+                    .filter(strat.live_pred(F.col("w")))
+                    .select(*FRONTIER_COLS)
+                    .persist()
+                )
+                over_budget = over_budget.unionByName(live_dead)
+                sweep_counts = live_dead.groupBy("host").agg(
+                    F.count(F.lit(1)).alias("_n_dead")
+                )
+                qs = (
+                    qs.join(sweep_counts, "host", "left")
+                    .withColumn(
+                        "n_cold",
+                        F.col("n_cold")
+                        - F.coalesce(F.col("_n_dead"), F.lit(0)),
+                    )
+                    .drop("_n_dead")
+                )
+            over_budget = over_budget.persist()
 
         frontier = repartition_by_host(frontier)
         # Politeness policy join strategy (VERDICT r2 #1 — the host
@@ -745,9 +798,15 @@ class CrawlEngine:
             "glue": glue_final.coalesce(n_small),
             "fetched": fetched_slim,
         }
+        obs_seed = None
+        obs_pending = None
+        sweep_ran = live_dead is not None
         if cfg.seed_budget is not None:
             # cumulative per-seed fetch counts (budget state for the NEXT
-            # round's exhaustion check — round-granular by design)
+            # round's exhaustion check — round-granular by design). The
+            # exhausted-seed count rides the write's Observation, so the
+            # next round knows whether a cold sweep is due with no extra
+            # job.
             fetched_seeds = fetched.select("seed")
             if wave_b is not None:
                 fetched_seeds = fetched_seeds.union(wave_b["fetched"].select("seed"))
@@ -760,7 +819,17 @@ class CrawlEngine:
                 .groupBy("seed")
                 .agg(F.sum("n_fetched").alias("n_fetched"))
             )
+            obs_seed = Observation(f"seed_r{r}")
+            seed_state2 = seed_state2.observe(
+                obs_seed,
+                F.sum(
+                    (F.col("n_fetched") >= F.lit(cfg.seed_budget)).cast("long")
+                ).alias("nex"),
+            )
             phase_a["seed_state"] = seed_state2.coalesce(n_small)
+            if sweep_ran:
+                # the sweep covered every currently-exhausted seed
+                phase_a["swept_seeds"] = exhausted.coalesce(1)
         # Write scheduling: phase-A tables (independent of the dedup
         # verdict) run concurrently in worker threads while THIS thread
         # writes the frontier — the frontier job is what materializes
@@ -777,8 +846,9 @@ class CrawlEngine:
         obs_hot = obs_coldadd = obs_qs = None
         part_by: dict[str, list[str]] = {}
         if cold_active:
-            routed_cache, to_hot, to_cold, qs3 = strat.route(
-                frontier2, qs, host_state, cfg.cold_buckets, cfg.replenish_chunk
+            routed_cache, to_hot, to_cold, to_pending, qs3 = strat.route(
+                frontier2, qs, host_state, cfg.cold_buckets, cfg.replenish_chunk,
+                dead_seeds=exhausted,
             )
             obs_hot = Observation(f"hot_r{r}")
             frontier2 = to_hot.observe(obs_hot, F.count(F.lit(1)).alias("n"))
@@ -789,6 +859,17 @@ class CrawlEngine:
             phase_a["frontier_cold"] = to_cold
             phase_a["queue_state"] = qs3.coalesce(n_small)
             part_by["frontier_cold"] = ["hbucket"]
+            if cfg.seed_budget is not None:
+                # rows discovered for an already-dead seed must never
+                # enter the append-only cold backlog after the seed's
+                # sweep — route() diverted them to the pending split
+                # (same persisted pass); the next round start demotes
+                # them, exactly when the oracle's whole-frontier check
+                # would.
+                obs_pending = Observation(f"pending_r{r}")
+                phase_a["pending_demote"] = to_pending.observe(
+                    obs_pending, F.count(F.lit(1)).alias("n")
+                ).coalesce(n_small)
         pending_futs = None
         if cfg.pipeline_writes:
             # sync: only what the NEXT round reads (frontier + the small
@@ -894,6 +975,18 @@ class CrawlEngine:
                     ),
                 }
             )
+        if cfg.seed_budget is not None:
+            nxt.aux["n_exhausted"] = int(obs_seed.get["nex"] or 0)
+            if sweep_ran:
+                nxt.aux["n_swept"] = snap.aux.get("n_exhausted", 0)
+            else:
+                nxt.aux["n_swept"] = snap.aux.get("n_swept", 0)
+                if "swept_seeds" in snap.tables and "swept_seeds" not in nxt.tables:
+                    nxt.tables["swept_seeds"] = snap.tables["swept_seeds"]
+            if obs_pending is not None:
+                # pending rows are semantically still in the frontier
+                # (the oracle demotes them at the NEXT round's start)
+                n_frontier2 += int(obs_pending.get["n"] or 0)
         # per-partition lineage: the seen/dedup pass's per-shard rows are
         # ALWAYS recorded (free — they rode the fused pass's one stats
         # collect). collect_lineage additionally breaks down admitted
@@ -966,6 +1059,10 @@ class CrawlEngine:
                 to_unpersist.append(wave_b["enriched"])
         if over_budget is not None:
             to_unpersist.append(over_budget)
+        if exhausted is not None:
+            to_unpersist.append(exhausted)
+        if live_dead is not None:
+            to_unpersist.append(live_dead)
         if enriched is not None:
             to_unpersist.append(enriched)
 

@@ -269,6 +269,34 @@ def test_synthetic_fetch_stratified_parity(spark, tmp_path_factory, oracle_resul
     assert eng.crawl_trace(final) == oracle_result.trace
 
 
-def test_seed_budget_rejected():
-    with pytest.raises(ValueError, match="seed_budget"):
-        CrawlEngine(None, None, "/tmp/x", _cfg(seed_budget=3))
+def test_seed_budget_stratified_parity(spark, tmp_path_factory, corpus):
+    """VERDICT r2 #3: per-seed budget in the stratified (10^10) mode.
+    Hot rows demote at round start, a newly exhausted seed's cold
+    backlog is demoted by the one-time exhaustion-round sweep, and
+    post-exhaustion discoveries ride pending_demote into the next
+    round — together EXACTLY the oracle's whole-frontier round-start
+    demotion (seen/trace/facts parity), while budget-quiet rounds never
+    touch cold."""
+    root = str(tmp_path_factory.mktemp("strat_budget"))
+    budget = 6
+    ores = oracle.crawl(
+        corpus, datagen.seed_urls(N_SEEDS, N, seed=SEED),
+        max_rounds=MAX_ROUNDS, seed_budget=budget,
+    )
+    exceeded = set()
+    for kinds in ores.facts.values():
+        exceeded |= kinds.get("budget_exceeded", set())
+    assert exceeded, "tight budget must demote some frontier rows"
+    pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
+    hs = datagen.generate_host_state(pages)
+    eng = CrawlEngine(spark, pages, root, _cfg(seed_budget=budget))
+    snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
+    final = eng.run(snap)
+    assert {r["url"] for r in eng.seen_urls(final).collect()} == ores.seen
+    assert eng.crawl_trace(final) == ores.trace
+    results = {r["seed"]: r for r in eng.results(final).collect()}
+    for seed, kinds in ores.facts.items():
+        for kind in FACT_KINDS:
+            want = sorted(kinds.get(kind, set()))
+            got = list(results[seed][kind])
+            assert got == want, f"{seed} {kind}: {got} != {want}"

@@ -44,7 +44,7 @@ def test_route_splits_on_watermark(spark):
     )
     qs = _qs(spark, [("a.com", (2, 0, "zzz"), 3, 1, False, None)])
     hs = _hs(spark, [("a.com", 2.0), ("b.com", 2.0)])
-    j, to_hot, to_cold, qs3 = strat.route(rows, qs, hs, n_buckets=8, chunk=4)
+    j, to_hot, to_cold, _pend, qs3 = strat.route(rows, qs, hs, n_buckets=8, chunk=4)
     hot = {r["url"] for r in to_hot.collect()}
     cold = {r["url"] for r in to_cold.collect()}
     assert hot == {"http://a.com/p1", "http://b.com/p5"}
@@ -68,10 +68,39 @@ def test_route_null_watermark_means_minus_inf(spark):
     rows = _rows(spark, [("http://a.com/p0", 0, 0)])
     qs = _qs(spark, [("a.com", None, 2, 0, True, 4)])  # cold nonempty, W = -inf
     hs = _hs(spark, [("a.com", 1.0)])
-    j, to_hot, to_cold, qs3 = strat.route(rows, qs, hs, n_buckets=8, chunk=4)
+    j, to_hot, to_cold, _pend, qs3 = strat.route(rows, qs, hs, n_buckets=8, chunk=4)
     assert to_hot.count() == 0  # everything sorts above -inf -> cold
     assert to_cold.count() == 1
     assert {r["n_cold"] for r in qs3.collect()} == {3}
+    j.unpersist()
+
+
+def test_route_diverts_dead_seed_rows(spark):
+    """seed_budget (VERDICT r2 #3): rows of an exhausted seed go to the
+    pending split — never hot, never the append-only cold backlog — and
+    the routing stats exclude them."""
+    rows = _rows(
+        spark,
+        [
+            ("http://a.com/p1", 1, 0),   # live, key <= W -> hot
+            ("http://a.com/p9", 9, 0),   # live, key > W -> cold
+        ],
+    )
+    dead = rows.filter(F.col("url") == "http://a.com/p1").withColumn(
+        "seed", F.lit("http://dead.seed/x")
+    )
+    rows = rows.unionByName(dead)
+    dead_seeds = spark.createDataFrame([("http://dead.seed/x",)], ["seed"])
+    qs = _qs(spark, [("a.com", (2, 0, "zzz"), 3, 1, False, None)])
+    hs = _hs(spark, [("a.com", 2.0)])
+    j, to_hot, to_cold, pend, qs3 = strat.route(
+        rows, qs, hs, n_buckets=8, chunk=4, dead_seeds=dead_seeds
+    )
+    assert {r["seed"] for r in pend.collect()} == {"http://dead.seed/x"}
+    assert {r["url"] for r in to_hot.collect()} == {"http://a.com/p1"}
+    assert {r["url"] for r in to_cold.collect()} == {"http://a.com/p9"}
+    st = {r["host"]: r for r in qs3.collect()}
+    assert st["a.com"]["n_hot"] == 1 and st["a.com"]["n_cold"] == 4
     j.unpersist()
 
 
