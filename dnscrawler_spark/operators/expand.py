@@ -34,7 +34,6 @@ from dnscrawler_spark.operators.frontier import (
     PRIORITY_GLUE,
     PRIORITY_QMIN,
     PRIORITY_RETRY_BASE,
-    derive_frontier_cols,
 )
 
 FACTS_SCHEMA = T.StructType(
@@ -321,14 +320,12 @@ def new_glue(fetched: DataFrame) -> DataFrame:
 
 def expand_candidates(
     fetched: DataFrame,
-    glue: DataFrame,
     n_salts: int,
     next_round: int,
-    glue_broadcast: bool = True,
     extra_edges: DataFrame | None = None,
 ) -> DataFrame:
-    """Edge explosion + glue join + per-key dedup → next-round frontier
-    candidates (before seen/in-flight anti-joins).
+    """Edge explosion + per-key dedup → next-round frontier candidates
+    (before the fused seen/glue/in-flight pass).
 
     Carry-forward: when a response has no out_edges, its carry_edges
     play the parent-zone-NS role (O8). Priority bands: glue-hit 1,
@@ -336,10 +333,26 @@ def expand_candidates(
     discovering parent by (priority, depth, seed) — the oracle applies
     the same rule, so crawl order matches.
 
+    Glue membership (VERDICT r2 #2) is NOT joined here: it is probed
+    EXACTLY inside the fused seen pass against the sharded glue filter
+    (O(candidates) probes + O(new glue) inserts per round — no O(glue)
+    broadcast/distinct/rewrite anywhere). Since the glue verdict flips a
+    candidate's priority band, the dedup keeps BOTH hypothetical best
+    structs — ``bg`` (priorities as if the url IS glue) and ``bn`` (as
+    if not) — and :func:`finalize_candidates` selects one once the pass
+    returns the verdict. Each is a min over the same per-key rows, so
+    map-side partial aggregation is preserved.
+
+    Output: one row per url_key with (url, host, salt, glue_eligible,
+    bg, bn). ``glue_eligible`` = the glue-hit best is NOT a carry row —
+    only expand/qmin discoveries short-circuit via glue
+    (dnsresolver_new.py:125-126; carries keep their band even when the
+    target is known glue).
+
     ``extra_edges``: additional candidate rows (seed, depth, url) with
     reason 'qmin' — the full-name requeries from classify_misses; they
-    ride the same glue join (a glue hit on the full name short-circuits
-    exactly like any discovered edge) and the same dedup.
+    ride the same dedup (a glue hit on the full name short-circuits
+    exactly like any discovered edge).
     """
     edges = fetched.select(
         F.col("seed"),
@@ -363,43 +376,67 @@ def expand_candidates(
     edges = edges.withColumn("url", canon_url_col(F.col("url"))).withColumn(
         "url_key", url_key_col(F.col("url"))
     )
-    glue_keys = glue.select("url_key").withColumn("glue_hit", F.lit(True))
-    if glue_broadcast:
-        glue_keys = F.broadcast(glue_keys)
-    edges = edges.join(glue_keys, "url_key", "left")
-    edges = edges.withColumn(
-        "priority",
+    prio_glue = (
         F.when(F.col("reason") == "carry", F.lit(PRIORITY_CARRY))
-        .when(F.col("glue_hit"), F.lit(PRIORITY_GLUE))
+        .otherwise(F.lit(PRIORITY_GLUE))
+    )
+    prio_plain = (
+        F.when(F.col("reason") == "carry", F.lit(PRIORITY_CARRY))
         .when(F.col("reason") == "qmin", F.lit(PRIORITY_QMIN))
-        .otherwise(F.lit(PRIORITY_EXPAND)),
-    ).withColumn(
-        "reason",
-        F.when(
-            F.col("reason").isin("expand", "qmin") & F.col("glue_hit").isNotNull(),
-            F.lit("glue"),
-        ).otherwise(F.col("reason")),
+        .otherwise(F.lit(PRIORITY_EXPAND))
     )
-    # within-round dedup: one row per url_key, best (priority, depth, seed).
-    # min(struct(...)) instead of a row_number window: hash aggregation
-    # with map-side partial combine — no per-key sort shuffle, which is
-    # the difference between O(n log n) sort and O(n) combine when edge
-    # fan-in is large (hot pages referenced by thousands of parents)
+    # one hash aggregation, two min-structs (map-side partial combine —
+    # no window, no per-key sort; see r1 plan-gate test). url/host/salt
+    # are functions of url_key, so min() is just a deterministic pick.
     edges = edges.groupBy("url_key").agg(
-        F.min(F.struct("priority", "depth", "seed", "reason", "url")).alias("best")
+        F.min(
+            F.struct(
+                prio_glue.alias("priority"), "depth", "seed", "reason", "url"
+            )
+        ).alias("bg"),
+        F.min(
+            F.struct(
+                prio_plain.alias("priority"), "depth", "seed", "reason", "url"
+            )
+        ).alias("bn"),
+        F.min("url").alias("url"),
     )
-    edges = edges.select(
+    return (
+        edges.withColumn("host", host_col(F.col("url")))
+        .withColumn(
+            "salt",
+            F.pmod(F.xxhash64(F.col("url"), F.lit(1)), F.lit(n_salts)).cast("int"),
+        )
+        .withColumn("glue_eligible", F.col("bg.reason") != "carry")
+    )
+
+
+def finalize_candidates(
+    cand: DataFrame, next_round: int
+) -> DataFrame:
+    """Resolve a candidate frame (expand_candidates output + the fused
+    pass's exact ``glue_hit`` verdict) to frontier-shaped rows: pick the
+    glue/plain best struct, rewrite expand/qmin reasons to 'glue' on a
+    hit — the same rule the oracle applies per candidate."""
+    chosen = F.when(F.col("glue_hit"), F.col("bg")).otherwise(F.col("bn"))
+    out = cand.select(
+        "url",
         "url_key",
-        F.col("best.priority").alias("priority"),
-        F.col("best.depth").alias("depth"),
-        F.col("best.seed").alias("seed"),
-        F.col("best.reason").alias("reason"),
-        F.col("best.url").alias("url"),
+        "host",
+        chosen["priority"].alias("priority"),
+        chosen["depth"].alias("depth"),
+        "salt",
+        F.lit(next_round).alias("round"),
+        F.when(
+            F.col("glue_hit") & chosen["reason"].isin("expand", "qmin"),
+            F.lit("glue"),
+        )
+        .otherwise(chosen["reason"])
+        .alias("reason"),
+        chosen["seed"].alias("seed"),
+        F.lit(0).alias("attempts"),
     )
-    edges = edges.withColumn("round", F.lit(next_round)).withColumn(
-        "attempts", F.lit(0)
-    )
-    return derive_frontier_cols(edges, n_salts)
+    return out.select(*FRONTIER_COLS)
 
 
 def fetched_facts(fetched: DataFrame, round_no: int) -> DataFrame:

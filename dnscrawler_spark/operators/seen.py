@@ -76,22 +76,28 @@ INSERT_STATS_SCHEMA = T.StructType(
 
 # merged insert+probe output: verdict rows (is_stat=false) + one stat row
 # per touched shard (is_stat=true) from a single applyInPandas pass.
-# role: 0=insert (no verdict rows), 1=probe, 2=resolve (probe-then-insert:
-# the glue short-circuit — an unseen resolve key is marked seen in the
-# same pass, because its resolution comes from the glue payload, not a
-# fetch; dnsresolver_new.py:125-126)
-# With an ``enqueue`` filter fused in (stratified frontier), role-1
-# unseen rows additionally carry ``inflight`` (exact membership in the
-# ever-enqueued set E — the distributed in-flight cycle-break, P11,
-# replacing the full-backlog union) and ``blocked`` (robots-gated at
-# enqueue: the key was inserted into SEEN in this pass and must never
-# enter the frontier); stat rows carry the enqueued shard's new npz
-# path + item count.
+# role: 0=insert into SEEN (no verdict rows), 1=probe, 3=insert into the
+# GLUE membership filter G (no verdict rows).
+# Role-1 unseen rows carry ``glue_hit`` — EXACT membership in G, probed
+# in-task after this round's glue inserts (the sharded replacement for
+# the old O(glue) broadcast join, VERDICT r2 #2). An unseen glue-hit row
+# whose candidate is glue-ELIGIBLE (expand/qmin discovery, not carry) is
+# the glue short-circuit (dnsresolver_new.py:125-126): resolved from the
+# glue payload in this pass — inserted into SEEN, never fetched.
+# With an ``enqueue`` filter fused in (stratified frontier), the
+# remaining fresh rows additionally carry ``inflight`` (exact membership
+# in the ever-enqueued set E — the distributed in-flight cycle-break,
+# P11, replacing the full-backlog union) and ``blocked`` (robots-gated
+# at enqueue: the key was inserted into SEEN in this pass and must never
+# enter the frontier); stat rows carry each fused filter's new npz path
+# + item count.
 MERGED_SCHEMA = T.StructType(
     [
         T.StructField("url_key", T.LongType(), True),
         T.StructField("seen", T.BooleanType(), True),
         T.StructField("role", T.IntegerType(), True),
+        T.StructField("glue_hit", T.BooleanType(), True),
+        T.StructField("resolved", T.BooleanType(), True),
         T.StructField("inflight", T.BooleanType(), True),
         T.StructField("blocked", T.BooleanType(), True),
         T.StructField("is_stat", T.BooleanType(), False),
@@ -104,6 +110,8 @@ MERGED_SCHEMA = T.StructType(
         T.StructField("path", T.StringType(), True),
         T.StructField("e_path", T.StringType(), True),
         T.StructField("e_n_items", T.LongType(), True),
+        T.StructField("g_path", T.StringType(), True),
+        T.StructField("g_n_items", T.LongType(), True),
     ]
 )
 
@@ -493,8 +501,10 @@ class SeenFilter:
         probe_df: DataFrame,
         round_no: int,
         key_col: str = "url_key",
-        resolve_col=None,
         tag: str = "",
+        glue: "SeenFilter | None" = None,
+        glue_insert_keys: DataFrame | None = None,
+        glue_eligible_col=None,
         enqueue: "SeenFilter | None" = None,
         block_col=None,
     ):
@@ -507,32 +517,36 @@ class SeenFilter:
         ``tag`` distinguishes multiple passes within one round (the
         two-wave sub-round writes its state under ``seen_r{N}-b``).
 
-        ``resolve_col`` (optional): a boolean Column over ``probe_df``
-        marking rows to PROBE-THEN-INSERT — the glue short-circuit
-        (dnsresolver_new.py:125-126): an unseen resolve row is resolved
-        from the glue payload (no fetch), so its key enters the seen set
-        in the same pass and it never re-enters the frontier.
+        ``glue`` (+ ``glue_insert_keys``, ``glue_eligible_col``): the
+        sharded glue-membership filter G, fused into the same pass
+        (VERDICT r2 #2 — replaces the old O(glue) broadcast join and the
+        O(glue) per-round distinct/rewrite). The pass first inserts this
+        round's discovered glue keys into G, then computes the EXACT
+        ``glue_hit`` verdict for every unseen candidate. An unseen
+        glue-hit row whose ``glue_eligible_col`` is true (expand/qmin
+        discovery — carries never short-circuit) is resolved from the
+        glue payload (dnsresolver_new.py:125-126): inserted into SEEN in
+        this pass, returned in ``parts['resolved']``, never fetched.
 
-        ``enqueue`` (optional, stratified frontier): a SECOND SeenFilter
+        ``enqueue`` (optional, stratified frontier): a further SeenFilter
         tracking the ever-enqueued set E, fused into the same pass. For
-        every unseen plain-probe row the pass computes exact membership
-        in E (``inflight`` — the in-flight cycle break P11, replacing the
-        classic full-backlog union+semi-join), and routes the fresh rows:
+        every remaining fresh row the pass computes exact membership in
+        E (``inflight`` — the in-flight cycle break P11, replacing the
+        classic full-backlog union+semi-join) and routes:
         ``block_col``-marked rows (robots-gated at enqueue) are inserted
         into SEEN (terminal, never enqueued), the rest are inserted into
-        E. Both filters must share ``n_shards`` (keys land in the same
-        shard group). Returns ``(new_filter, new_enqueue, parts)`` where
-        parts maps ``new | nonhaz | blocked | resolved`` to the matching
-        probe_df subsets.
+        E. All fused filters must share ``n_shards`` (keys land in the
+        same shard group).
 
-        Returns ``(new_filter, unseen_df)`` without ``resolve_col``, else
-        ``(new_filter, unseen_df, resolved_new_df)`` where ``unseen_df``
-        holds the plain probe rows that are definitively unseen and
-        ``resolved_new_df`` the resolve rows that were unseen (now
-        inserted). Verdicts are exact: bloom/cuckoo fast path plus the
-        in-task shard-pruned tier-3 confirm (same-round inserts included
-        from the in-memory arrays). The single stats collect is the one
-        action that materializes the whole pass.
+        Returns ``(new_filter, new_glue, new_enqueue, parts)`` —
+        ``new_enqueue`` is None without ``enqueue``. ``parts`` maps
+        ``resolved`` plus (with enqueue) ``new | nonhaz | blocked`` or
+        (without) ``unseen`` to the matching probe_df subsets, each with
+        the ``glue_hit`` verdict column attached. Verdicts are exact:
+        bloom/cuckoo fast path plus the in-task shard-pruned tier-3
+        confirm (same-round inserts included from the in-memory arrays).
+        The single stats collect is the one action that materializes the
+        whole pass.
         """
         out_dir = os.path.join(self.state_dir, f"seen_r{round_no:06d}{tag}")
         keys_dir = os.path.join(out_dir, "keys.parquet")
@@ -540,6 +554,21 @@ class SeenFilter:
         paths = dict(self.shard_paths)
         key_dirs = list(self.key_files)
         n_bits, n_buckets, k = self.n_bits, self.n_buckets, self.k
+
+        with_glue = glue is not None
+        if with_glue:
+            if glue.n_shards != self.n_shards:
+                raise ValueError("glue filter must share n_shards with seen filter")
+            g_out_dir = os.path.join(glue.state_dir, f"glue_r{round_no:06d}{tag}")
+            g_keys_dir = os.path.join(g_out_dir, "keys.parquet")
+            os.makedirs(g_keys_dir, exist_ok=True)
+            g_paths = dict(glue.shard_paths)
+            g_key_dirs = list(glue.key_files)
+            g_bits, g_buckets, g_k = glue.n_bits, glue.n_buckets, glue.k
+        else:
+            g_out_dir = g_keys_dir = ""
+            g_paths, g_key_dirs = {}, []
+            g_bits, g_buckets, g_k = n_bits, n_buckets, k
 
         with_enq = enqueue is not None
         if with_enq:
@@ -559,13 +588,19 @@ class SeenFilter:
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             sid = int(pdf["shard_id"].iloc[0])
             ins = pdf.loc[pdf["role"] == 0, "url_key"].to_numpy(dtype=np.int64)
-            prb = pdf.loc[pdf["role"] >= 1, "url_key"].to_numpy(dtype=np.int64)
-            roles = pdf.loc[pdf["role"] >= 1, "role"].to_numpy(dtype=np.int32)
+            gins = pdf.loc[pdf["role"] == 3, "url_key"].to_numpy(dtype=np.int64)
+            probe_mask = pdf["role"] == 1
+            prb = pdf.loc[probe_mask, "url_key"].to_numpy(dtype=np.int64)
             # explicit nullable-boolean dtype first: .fillna on the raw
             # (object-dtype) Arrow column emits the pandas object-downcast
             # FutureWarning in this round-critical pass (VERDICT r2 #8)
             wb = (
-                pdf.loc[pdf["role"] >= 1, "will_block"]
+                pdf.loc[probe_mask, "will_block"]
+                .astype("boolean")
+                .to_numpy(dtype=bool, na_value=False)
+            )
+            eligible = (
+                pdf.loc[probe_mask, "glue_eligible"]
                 .astype("boolean")
                 .to_numpy(dtype=bool, na_value=False)
             )
@@ -589,6 +624,35 @@ class SeenFilter:
             if ins.size:
                 shard.bloom_insert(ins)
                 shard.cuckoo_insert(ins)
+
+            # glue filter G: insert this round's discovered glue FIRST
+            # (the oracle accumulates glue from this wave's responses
+            # before expanding), then probe candidates against it
+            g_new_path = ""
+            g_items = 0
+            g_shard = None
+            if with_glue:
+                g_prev = g_paths.get(sid)
+                g_shard = (
+                    _Shard.load(g_prev)
+                    if g_prev and os.path.exists(g_prev)
+                    else _Shard(g_bits, g_buckets, g_k)
+                )
+                g_new_path = g_prev or ""
+                if gins.size:
+                    gins = np.unique(gins)
+                    gins = gins[~_already_seen(g_shard, gins, g_key_dirs, sid)]
+                if gins.size:
+                    g_shard.bloom_insert(gins)
+                    g_shard.cuckoo_insert(gins)
+                    g_new_path = os.path.join(g_out_dir, f"shard_{sid:05d}.npz")
+                    g_shard.save(g_new_path)
+                    gkp = os.path.join(g_keys_dir, f"part-{sid:05d}.parquet")
+                    tmp = f"{gkp}.tmp-{uuid.uuid4().hex[:8]}"
+                    pd.DataFrame({"url_key": gins}).to_parquet(tmp, index=False)
+                    os.replace(tmp, gkp)
+                g_items = g_shard.n_items
+
             n = len(prb)
             seen = np.zeros(n, dtype=bool)
             if n:
@@ -603,10 +667,26 @@ class SeenFilter:
                     if ins.size:
                         hit |= np.isin(sus, ins)
                     seen[needs_exact] = hit
-            # unseen resolve rows become seen NOW (resolved via glue):
-            # their keys join this round's inserts in bloom/cuckoo + the
-            # tier-3 key file
-            resolved_new = prb[(roles == 2) & ~seen] if n else np.empty(0, np.int64)
+
+            # exact glue verdict for unseen candidates (this round's
+            # fresh glue inserts included via the in-memory array)
+            glue_hit = np.zeros(n, dtype=bool)
+            if with_glue and n:
+                unseen_mask = ~seen
+                if unseen_mask.any():
+                    gh = _already_seen(
+                        g_shard, prb[unseen_mask], g_key_dirs, sid
+                    )
+                    if gins.size:
+                        gh |= np.isin(prb[unseen_mask], gins)
+                    glue_hit[unseen_mask] = gh
+            # unseen glue-eligible hits become seen NOW (resolved via the
+            # glue payload): their keys join this round's inserts in
+            # bloom/cuckoo + the tier-3 key file
+            resolved_mask = glue_hit & eligible & ~seen
+            resolved_new = (
+                np.unique(prb[resolved_mask]) if n else np.empty(0, np.int64)
+            )
             if resolved_new.size:
                 shard.bloom_insert(resolved_new)
                 shard.cuckoo_insert(resolved_new)
@@ -626,7 +706,7 @@ class SeenFilter:
                     else _Shard(e_bits, e_buckets, e_k)
                 )
                 e_new_path = e_prev or ""
-                plain_unseen = (roles == 1) & ~seen
+                plain_unseen = ~seen & ~resolved_mask
                 if plain_unseen.any():
                     inflight[plain_unseen] = _already_seen(
                         e_shard, prb[plain_unseen], e_key_dirs, sid
@@ -672,8 +752,7 @@ class SeenFilter:
                 np.concatenate([[False], seen]), mask=na_head.copy()
             )
             role_col = pd.arrays.IntegerArray(
-                np.concatenate([np.zeros(1, dtype=np.int32), roles]).astype(np.int32),
-                mask=na_head.copy(),
+                np.full(n + 1, 1, dtype=np.int32), mask=na_head.copy()
             )
             n_items = pd.arrays.IntegerArray(
                 np.full(n + 1, shard.n_items, dtype=np.int64), mask=na_tail.copy()
@@ -692,6 +771,15 @@ class SeenFilter:
             degraded = pd.arrays.BooleanArray(
                 np.full(n + 1, shard.degraded, dtype=bool), mask=na_tail.copy()
             )
+            gh_col = pd.arrays.BooleanArray(
+                np.concatenate([[False], glue_hit]), mask=na_head.copy()
+            )
+            resolved_col = pd.arrays.BooleanArray(
+                np.concatenate(
+                    [[False], resolved_mask if n else np.zeros(0, dtype=bool)]
+                ),
+                mask=na_head.copy(),
+            )
             infl_col = pd.arrays.BooleanArray(
                 np.concatenate([[False], inflight]), mask=na_head.copy()
             )
@@ -701,11 +789,16 @@ class SeenFilter:
             e_items_col = pd.arrays.IntegerArray(
                 np.full(n + 1, e_items, dtype=np.int64), mask=na_tail.copy()
             )
+            g_items_col = pd.arrays.IntegerArray(
+                np.full(n + 1, g_items, dtype=np.int64), mask=na_tail.copy()
+            )
             return pd.DataFrame(
                 {
                     "url_key": url_key,
                     "seen": seen_col,
                     "role": role_col,
+                    "glue_hit": gh_col,
+                    "resolved": resolved_col,
                     "inflight": infl_col,
                     "blocked": blk_col,
                     "is_stat": pd.array(na_head, dtype="boolean"),
@@ -718,27 +811,36 @@ class SeenFilter:
                     "path": pd.array([new_path] + [pd.NA] * n, dtype="string"),
                     "e_path": pd.array([e_new_path] + [pd.NA] * n, dtype="string"),
                     "e_n_items": e_items_col,
+                    "g_path": pd.array([g_new_path] + [pd.NA] * n, dtype="string"),
+                    "g_n_items": g_items_col,
                 }
             )
 
-        probe_role = (
-            F.when(resolve_col, F.lit(2)).otherwise(F.lit(1))
-            if resolve_col is not None
-            else F.lit(1)
-        )
         wb_col = block_col if block_col is not None else F.lit(False)
+        elig_col = (
+            glue_eligible_col if glue_eligible_col is not None else F.lit(False)
+        )
         tagged = (
             insert_keys.select(F.col(key_col).alias("url_key"))
             .withColumn("role", F.lit(0))
             .withColumn("will_block", F.lit(None).cast("boolean"))
+            .withColumn("glue_eligible", F.lit(None).cast("boolean"))
             .unionByName(
                 probe_df.select(
                     F.col(key_col).alias("url_key"),
-                    probe_role.alias("role"),
+                    F.lit(1).alias("role"),
                     wb_col.cast("boolean").alias("will_block"),
+                    elig_col.cast("boolean").alias("glue_eligible"),
                 )
             )
         )
+        if with_glue and glue_insert_keys is not None:
+            tagged = tagged.unionByName(
+                glue_insert_keys.select(F.col(key_col).alias("url_key"))
+                .withColumn("role", F.lit(3))
+                .withColumn("will_block", F.lit(None).cast("boolean"))
+                .withColumn("glue_eligible", F.lit(None).cast("boolean"))
+            )
         merged = (
             self._with_shard_col(tagged, "url_key")
             .groupBy("shard_id")
@@ -787,10 +889,36 @@ class SeenFilter:
         }
         new_filter._persisted = self._persisted  # release() covers both
 
+        new_glue = None
+        if with_glue:
+            g_new_paths = dict(glue.shard_paths)
+            g_touched = False
+            for row in stats:
+                if row["g_path"]:
+                    g_new_paths[int(row["shard_id"])] = row["g_path"]
+                    if row["g_path"].startswith(g_out_dir):
+                        g_touched = True
+            new_glue = SeenFilter(
+                state_dir=glue.state_dir,
+                n_shards=glue.n_shards,
+                n_bits=glue.n_bits,
+                n_buckets=glue.n_buckets,
+                k=glue.k,
+                shard_paths=g_new_paths,
+                key_files=glue.key_files + ([g_keys_dir] if g_touched else []),
+            )
+
         # verdicts are already EXACT (suspects confirmed in-task against
         # the shard's own tier-3 files + this round's in-memory inserts):
-        # no union, no anti-join, one semi-join back onto the candidates
+        # no union, no anti-join, one equi-join back onto the candidates
+        # carrying the glue verdict
         fresh = merged.filter(~F.col("is_stat") & ~F.col("seen"))
+
+        def attach(keys_df):
+            ks = keys_df.select(
+                F.col("url_key").alias(key_col), "glue_hit"
+            )
+            return probe_df.join(ks, key_col, "inner")
 
         if with_enq:
             e_new_paths = dict(enqueue.shard_paths)
@@ -809,38 +937,23 @@ class SeenFilter:
                 shard_paths=e_new_paths,
                 key_files=enqueue.key_files + ([e_keys_dir] if e_touched else []),
             )
-
-            def semi(keys_df):
-                ks = keys_df.select("url_key").withColumnRenamed("url_key", key_col)
-                return probe_df.join(ks, key_col, "left_semi")
-
-            plain = fresh.filter(F.col("role") == 1)
             parts = {
-                "new": semi(plain.filter(~F.col("inflight") & ~F.col("blocked"))),
-                "nonhaz": semi(plain.filter(F.col("inflight"))),
-                "blocked": semi(plain.filter(F.col("blocked"))),
-                "resolved": semi(fresh.filter(F.col("role") == 2)),
+                "new": attach(
+                    fresh.filter(
+                        ~F.col("resolved") & ~F.col("inflight") & ~F.col("blocked")
+                    )
+                ),
+                "nonhaz": attach(fresh.filter(F.col("inflight"))),
+                "blocked": attach(fresh.filter(F.col("blocked"))),
+                "resolved": attach(fresh.filter(F.col("resolved"))),
             }
-            return new_filter, new_enq, parts
+            return new_filter, new_glue, new_enq, parts
 
-        if resolve_col is None:
-            unseen_keys = fresh.select("url_key").withColumnRenamed("url_key", key_col)
-            return new_filter, probe_df.join(unseen_keys, key_col, "left_semi")
-        plain_keys = (
-            fresh.filter(F.col("role") == 1)
-            .select("url_key")
-            .withColumnRenamed("url_key", key_col)
-        )
-        resolved_keys = (
-            fresh.filter(F.col("role") == 2)
-            .select("url_key")
-            .withColumnRenamed("url_key", key_col)
-        )
-        return (
-            new_filter,
-            probe_df.join(plain_keys, key_col, "left_semi"),
-            probe_df.join(resolved_keys, key_col, "left_semi"),
-        )
+        parts = {
+            "unseen": attach(fresh.filter(~F.col("resolved"))),
+            "resolved": attach(fresh.filter(F.col("resolved"))),
+        }
+        return new_filter, new_glue, None, parts
 
     def exact_key_count(self) -> int:
         """Measured size of the seen set: total rows across the tier-3

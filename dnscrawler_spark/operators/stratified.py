@@ -90,6 +90,12 @@ QUEUE_STATE_SCHEMA = T.StructType(
         T.StructField("n_hot", T.LongType(), False),
         T.StructField("deficit", T.BooleanType(), False),
         T.StructField("pull_t", T.IntegerType(), True),
+        # has this host EVER had rows appended to the cold deltas? Only
+        # such hosts need their queue_state row (specifically W — the
+        # dead-row marker for the physical cold files) retained while
+        # idle; hot-only hosts drop out when drained, preventing the
+        # O(hosts-ever-seen) queue_state leak (VERDICT r2 #9).
+        T.StructField("ever_cold", T.BooleanType(), False),
     ]
 )
 
@@ -270,13 +276,18 @@ def route(
         F.max(F.when(to_hot_pred & ~has_cold, key_struct())).alias("w_cand"),
     )
     qs3 = (
-        qs.select("host", "w", "n_cold")
+        qs.select("host", "w", "n_cold", "ever_cold")
         .join(stats, "host", "full")
         .withColumn(
             "n_cold",
             F.coalesce(F.col("n_cold"), F.lit(0)) + F.coalesce(F.col("n_add"), F.lit(0)),
         )
         .withColumn("n_hot", F.coalesce(F.col("n_hot_new"), F.lit(0)))
+        .withColumn(
+            "ever_cold",
+            F.coalesce(F.col("ever_cold"), F.lit(False))
+            | (F.coalesce(F.col("n_add"), F.lit(0)) > 0),
+        )
         .withColumn(
             "w",
             F.when(
@@ -295,7 +306,17 @@ def route(
                 (F.lit(chunk) * F.col("need") - F.col("n_hot")).cast("int"),
             ),
         )
-        .select("host", "w", "n_cold", "n_hot", "deficit", "pull_t")
+        .select("host", "w", "n_cold", "n_hot", "deficit", "pull_t", "ever_cold")
+        # drop rows that carry NO state: hot-only hosts (never any cold-
+        # file rows) with nothing queued. Without this filter queue_state
+        # accumulates one dead row per host ever touched — an
+        # O(hosts-ever-seen) leak at a 10^10 frontier (VERDICT r2 #9).
+        # ever_cold hosts are kept even when drained: their dead cold
+        # rows are physically present in the append-only deltas, and W
+        # is what marks them dead for compaction/replenish liveness.
+        .filter(
+            (F.col("n_cold") > 0) | (F.col("n_hot") > 0) | F.col("ever_cold")
+        )
     )
     return j, to_hot, to_cold, to_pending, qs3
 
@@ -317,6 +338,7 @@ def initial_queue_state(clean_seeds: DataFrame, host_state: DataFrame, chunk: in
             F.lit(0).cast("long").alias("n_hot"),
             F.lit(True).alias("deficit"),
             (F.lit(chunk) * F.col("need")).cast("int").alias("pull_t"),
+            F.lit(True).alias("ever_cold"),
         )
     )
 

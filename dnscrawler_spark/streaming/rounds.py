@@ -60,7 +60,6 @@ class CrawlConfig:
     max_rounds: int = 64
     verify_payloads: bool = True
     gen_seed: int = 42
-    glue_broadcast: bool = True  # small+hot glue side (SURVEY J1/O4)
     seen_shards: int = 32
     seen_bits: int = 1 << 20
     seen_buckets: int = 1 << 15
@@ -244,6 +243,14 @@ class CrawlEngine:
             n_buckets=cfg.seen_buckets,
         )
         snap.seen = seen.to_manifest()
+        # sharded glue-membership filter G (empty at start): the exact
+        # replacement for an accumulated-glue table join (VERDICT r2 #2)
+        snap.aux["glue"] = SeenFilter(
+            state_dir=os.path.join(self.root, "glue_state"),
+            n_shards=cfg.seen_shards,
+            n_bits=cfg.seen_bits,
+            n_buckets=cfg.seen_buckets,
+        ).to_manifest()
         snap.metrics = {"n_frontier": n_seeds, "done": False}
         if cfg.stratified:
             # seeds all went cold; run_round uses this to skip the cold
@@ -326,10 +333,13 @@ class CrawlEngine:
                 )
             ]
         tokens = self._merged_tokens(token_paths) if token_paths else None
-        glue = store.read_table(spark, snap, "glue", X.GLUE_SCHEMA)
-        if glue is None:
-            glue = spark.createDataFrame([], X.GLUE_SCHEMA)
         seen = SeenFilter.from_manifest(snap.seen)
+        # glue membership is a sharded exact filter (VERDICT r2 #2):
+        # O(candidates) probes + O(new glue) inserts per round inside the
+        # fused pass — never an O(glue) broadcast/distinct/rewrite. The
+        # per-round "glue" table is an append-only audit delta of the
+        # round's discovered (url_key, url) pairs.
+        glue_f = SeenFilter.from_manifest(snap.aux["glue"])
 
         # per-seed budget state (run/run.py:59 analog): the exhausted-seed
         # dimension is read up front — replenish pulls and cold liveness
@@ -532,14 +542,10 @@ class CrawlEngine:
         terminal = terminal.observe(obs_term, F.count(F.lit(1)).alias("n")).persist()
         qmin = qmin.observe(obs_qmin, F.count(F.lit(1)).alias("n")).persist()
 
-        glue2 = glue.union(X.new_glue(fetched)).distinct().persist()
-        # candidates has 3 consumers (the fused pass's tagged union, the
-        # unseen semi-join, the resolved semi-join) — persist so the
-        # expansion explode+groupBy shuffle runs once per round, not 3x
+        glue_new = X.new_glue(fetched)
         candidates = X.expand_candidates(
-            fetched, glue2, cfg.n_salts, r + 1, cfg.glue_broadcast,
-            extra_edges=qmin,
-        ).persist()
+            fetched, cfg.n_salts, r + 1, extra_edges=qmin,
+        )
 
         seen_keys = (
             fetched.select("url_key")
@@ -575,6 +581,13 @@ class CrawlEngine:
                 .drop("robots_disallow", "robots_fetched")
             )
 
+        # the probe frame (candidates + robots verdict in stratified
+        # mode) is read by the fused pass AND by every part's verdict
+        # join afterwards — persist it so the expansion shuffle and the
+        # robots join run once per round
+        probe_cand = (
+            with_will_block(candidates) if cfg.stratified else candidates
+        ).persist()
         unseen = None
         blocked_cand = None
         enq_final = None
@@ -583,27 +596,30 @@ class CrawlEngine:
             # E: the in-flight cycle break (P11) without touching the
             # backlog — unseen ∧ enqueued ⇔ in-flight, since rows only
             # leave the frontier by becoming seen
-            seen2, enq2, parts = seen.insert_and_probe(
-                seen_keys, with_will_block(candidates), r,
-                resolve_col=F.col("reason") == "glue",
+            seen2, glue2_f, enq2, parts = seen.insert_and_probe(
+                seen_keys, probe_cand, r,
+                glue=glue_f, glue_insert_keys=glue_new,
+                glue_eligible_col=F.col("glue_eligible"),
                 enqueue=enq, block_col=F.col("will_block"),
             )
             tick("fused-pass collect (fetch+dedup materialized)")
-            glue_resolved = parts["resolved"].drop("will_block").persist()
-            nonhaz = parts["nonhaz"].drop("will_block")
-            new_rows = parts["new"].drop("will_block")
+            glue_resolved = X.finalize_candidates(parts["resolved"], r + 1).persist()
+            nonhaz = X.finalize_candidates(parts["nonhaz"], r + 1)
+            new_rows = X.finalize_candidates(parts["new"], r + 1)
             # blocked-at-enqueue counts ride the fused pass's stat rows
             # (an Observation here would block on the pipelined facts
             # write, serializing the write overlap)
-            blocked_cand = parts["blocked"].drop("will_block")
+            blocked_cand = X.finalize_candidates(parts["blocked"], r + 1)
             enq_final = enq2
         else:
-            seen2, unseen, glue_resolved = seen.insert_and_probe(
-                seen_keys, candidates, r, resolve_col=F.col("reason") == "glue"
+            seen2, glue2_f, _, parts = seen.insert_and_probe(
+                seen_keys, probe_cand, r,
+                glue=glue_f, glue_insert_keys=glue_new,
+                glue_eligible_col=F.col("glue_eligible"),
             )
             tick("fused-pass collect (fetch+dedup materialized)")
-            unseen = unseen.persist()
-            glue_resolved = glue_resolved.persist()
+            unseen = X.finalize_candidates(parts["unseen"], r + 1).persist()
+            glue_resolved = X.finalize_candidates(parts["resolved"], r + 1).persist()
             inflight = leftover.select("url_key").union(retries.select("url_key"))
             nonhaz = unseen.join(inflight, "url_key", "left_semi")
             new_rows = unseen.join(inflight, "url_key", "left_anti")
@@ -613,7 +629,7 @@ class CrawlEngine:
         # fetched again within the SAME round against the remaining
         # politeness budget. Opt-in (cfg.two_wave); wave-A-only otherwise.
         wave_b = None
-        seen_final, glue_final = seen2, glue2
+        seen_final, glue_final_f = seen2, glue2_f
         if cfg.two_wave:
             # localCheckpoint = the wave boundary: materializes the wave-A
             # verdicts AND truncates their lineage, so wave-B plans start
@@ -650,10 +666,12 @@ class CrawlEngine:
                 obs_term_b, F.count(F.lit(1)).alias("n")
             ).persist()
             qmin_b = qmin_b.observe(obs_qmin_b, F.count(F.lit(1)).alias("n")).persist()
-            glue_final = glue2.union(X.new_glue(fetched_b)).distinct().persist()
+            glue_new_b = X.new_glue(fetched_b)
             candidates_b = X.expand_candidates(
-                fetched_b, glue_final, cfg.n_salts, r + 1, cfg.glue_broadcast,
-                extra_edges=qmin_b,
+                fetched_b, cfg.n_salts, r + 1, extra_edges=qmin_b,
+            )
+            probe_cand_b = (
+                with_will_block(candidates_b) if cfg.stratified else candidates_b
             ).persist()
             seen_keys_b = (
                 fetched_b.select("url_key")
@@ -667,24 +685,31 @@ class CrawlEngine:
                 # E already holds wave-A's fresh rows (inserted in the
                 # wave-A pass), so the exact in-flight set here is the
                 # oracle's inflight2 = inflight ∪ rest ∪ leftover_b ∪
-                # retries_b — no unions needed
-                seen_final, enq_b, parts_b = seen2.insert_and_probe(
-                    seen_keys_b, with_will_block(candidates_b), r,
-                    resolve_col=F.col("reason") == "glue", tag="-b",
+                # retries_b — no unions needed. G likewise already holds
+                # wave-A's glue; wave-B's discoveries insert here.
+                seen_final, glue_final_f, enq_b, parts_b = seen2.insert_and_probe(
+                    seen_keys_b, probe_cand_b, r, tag="-b",
+                    glue=glue2_f, glue_insert_keys=glue_new_b,
+                    glue_eligible_col=F.col("glue_eligible"),
                     enqueue=enq2, block_col=F.col("will_block"),
                 )
-                glue_resolved_b = parts_b["resolved"].drop("will_block").persist()
-                nonhaz_b = parts_b["nonhaz"].drop("will_block")
-                new_b = parts_b["new"].drop("will_block")
-                blocked_cand_b = parts_b["blocked"].drop("will_block")
+                glue_resolved_b = X.finalize_candidates(
+                    parts_b["resolved"], r + 1
+                ).persist()
+                nonhaz_b = X.finalize_candidates(parts_b["nonhaz"], r + 1)
+                new_b = X.finalize_candidates(parts_b["new"], r + 1)
+                blocked_cand_b = X.finalize_candidates(parts_b["blocked"], r + 1)
                 enq_final = enq_b
             else:
-                seen_final, unseen_b, glue_resolved_b = seen2.insert_and_probe(
-                    seen_keys_b, candidates_b, r,
-                    resolve_col=F.col("reason") == "glue", tag="-b",
+                seen_final, glue_final_f, _, parts_b = seen2.insert_and_probe(
+                    seen_keys_b, probe_cand_b, r, tag="-b",
+                    glue=glue2_f, glue_insert_keys=glue_new_b,
+                    glue_eligible_col=F.col("glue_eligible"),
                 )
-                unseen_b = unseen_b.persist()
-                glue_resolved_b = glue_resolved_b.persist()
+                unseen_b = X.finalize_candidates(parts_b["unseen"], r + 1).persist()
+                glue_resolved_b = X.finalize_candidates(
+                    parts_b["resolved"], r + 1
+                ).persist()
                 inflight2 = (
                     inflight.union(rest.select("url_key"))
                     .union(leftover_b.select("url_key"))
@@ -697,7 +722,7 @@ class CrawlEngine:
                 "admitted": admitted_b, "leftover": leftover_b,
                 "blocked": blocked_b, "fetched": fetched_b, "debits": debits_b,
                 "retries": retries_b, "terminal": terminal_b,
-                "qmin": qmin_b, "candidates": candidates_b,
+                "qmin": qmin_b, "candidates": probe_cand_b,
                 "unseen": unseen_b, "glue_resolved": glue_resolved_b,
                 "nonhaz": nonhaz_b, "new": new_b, "enriched": enriched_b,
                 "blocked_cand": blocked_cand_b,
@@ -795,7 +820,13 @@ class CrawlEngine:
             ).unionByName(wave_b["debits"])
         phase_a = {
             "host_tokens": debits_final.coalesce(1),
-            "glue": glue_final.coalesce(n_small),
+            # append-only glue AUDIT delta: only this round's discovered
+            # (url_key, url) pairs — never the accumulated glue set
+            # (VERDICT r2 #2); exact membership lives in the sharded
+            # glue filter G (manifest in aux["glue"])
+            "glue": (
+                glue_new if wave_b is None else glue_new.unionByName(glue_new_b)
+            ).coalesce(n_small),
             "fetched": fetched_slim,
         }
         obs_seed = None
@@ -916,7 +947,10 @@ class CrawlEngine:
         # delta joins the merge-on-read list
         nxt.tables["host_state"] = snap.tables["host_state"]
         new_token_paths = token_paths + [nxt.tables.pop("host_tokens")]
-        nxt.aux = {"token_paths": new_token_paths}
+        nxt.aux = {
+            "token_paths": new_token_paths,
+            "glue": glue_final_f.to_manifest(),
+        }
 
         branch_n = {name: int(o.get["n"]) for name, o in branch_obs.items()}
         n_left = branch_n["left"] + branch_n.get("left_b", 0)
@@ -1038,7 +1072,7 @@ class CrawlEngine:
         }
         to_unpersist = [
             admitted, leftover, blocked, fetched, retries, terminal, qmin,
-            glue2, candidates, glue_resolved,
+            probe_cand, glue_resolved,
         ]
         if unseen is not None:
             to_unpersist.append(unseen)
@@ -1047,7 +1081,6 @@ class CrawlEngine:
         to_unpersist += strat_persisted
         if wave_b is not None:
             to_unpersist += [
-                glue_final,
                 wave_b["admitted"], wave_b["leftover"], wave_b["blocked"],
                 wave_b["fetched"], wave_b["retries"], wave_b["terminal"],
                 wave_b["qmin"], wave_b["candidates"],

@@ -1,0 +1,116 @@
+"""Round job-count discipline (VERDICT r2 #6) and host-dimension join
+plan gates (VERDICT r2 #1): the default round runs exactly the fused
+seen/dedup pass(es) plus the snapshot writes — no standalone collect
+jobs — and the politeness policy join never broadcasts the raw host
+dimension."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import DataFrame, functions as F
+
+from dnscrawler_spark import datagen
+from dnscrawler_spark.streaming.rounds import CrawlConfig, CrawlEngine
+
+N = 120
+
+
+def _run_one_round(spark, monkeypatch, **cfg_kw):
+    """Run start() + one round with DataFrame.collect spied; returns the
+    number of collect() calls made inside run_round."""
+    cfg = CrawlConfig(
+        max_rounds=2, seen_shards=4, seen_bits=1 << 16, seen_buckets=1 << 10,
+        partitions=4, fetch_mode="synthetic", n_pages=N, **cfg_kw,
+    )
+    hs = datagen.generate_host_state_synthetic(spark, datagen.default_n_hosts(N))
+    eng = CrawlEngine(spark, None, tempfile.mkdtemp(prefix="jobs_"), cfg)
+    snap = eng.start(datagen.seed_urls(3, N, seed=42), hs)
+    # pyspark 4: the classic session returns the classic subclass, whose
+    # collect overrides the pyspark.sql.DataFrame one — patch that class
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    calls = []
+    orig = ClassicDF.collect
+
+    def spy(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(ClassicDF, "collect", spy)
+    try:
+        eng.run_round(snap)
+    finally:
+        monkeypatch.setattr(ClassicDF, "collect", orig)
+    return len(calls)
+
+
+def test_default_round_collects_only_fused_pass(spark, monkeypatch):
+    # single-wave default round: exactly ONE driver-side collect — the
+    # fused insert+probe stats (the action that materializes the round)
+    assert _run_one_round(spark, monkeypatch, two_wave=False) == 1
+
+
+def test_two_wave_round_collects_once_per_wave(spark, monkeypatch):
+    assert _run_one_round(spark, monkeypatch, two_wave=True) == 2
+
+
+def test_lineage_opt_in_adds_exactly_one_job(spark, monkeypatch):
+    assert (
+        _run_one_round(spark, monkeypatch, two_wave=False, collect_lineage=True)
+        == 2
+    )
+
+
+def _mk_frontier(spark, urls):
+    from dnscrawler_spark.operators.frontier import derive_frontier_cols
+
+    df = (
+        spark.createDataFrame([(u,) for u in urls], ["url"])
+        .withColumn("priority", F.lit(2))
+        .withColumn("depth", F.lit(1))
+        .withColumn("round", F.lit(0))
+        .withColumn("reason", F.lit("expand"))
+        .withColumn("seed", F.lit("http://s/x"))
+        .withColumn("attempts", F.lit(0))
+    )
+    return derive_frontier_cols(df, 4)
+
+
+def test_admit_full_dim_path_never_broadcasts_policy(spark):
+    """VERDICT r2 #1 plan gate: the full-dimension policy join (classic /
+    drained / all-hosts rounds) is a shuffled hash join — NO
+    BroadcastExchange anywhere in the admission plan, regardless of the
+    host dimension's size estimate."""
+    from dnscrawler_spark.datagen import HOST_STATE_SCHEMA
+    from dnscrawler_spark.operators import politeness as pol
+    from dnscrawler_spark.plans import explain_str
+
+    policy = spark.createDataFrame(
+        [(f"h{i}.com", 2.0, 4.0, [], True) for i in range(500)], HOST_STATE_SCHEMA
+    )
+    fr = _mk_frontier(spark, [f"http://h{i}.com/p" for i in range(50)])
+    prepared = pol.prepare_policy(policy, None, 0).hint("shuffle_hash")
+    admitted, *_ = pol.admit(fr, prepared, 0)
+    plan = explain_str(admitted, "simple")
+    assert "BroadcastExchange" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_admit_pruned_path_broadcasts_only_semi_pruned_slice(spark):
+    """The stratified fast path MAY broadcast — but only the policy slice
+    semi-join-pruned to the round's active hosts: every BroadcastExchange
+    in the plan sits above the LeftSemi prune."""
+    from dnscrawler_spark.datagen import HOST_STATE_SCHEMA
+    from dnscrawler_spark.operators import politeness as pol
+    from dnscrawler_spark.plans import explain_str
+
+    policy = spark.createDataFrame(
+        [(f"h{i}.com", 2.0, 4.0, [], True) for i in range(500)], HOST_STATE_SCHEMA
+    )
+    active = spark.createDataFrame([(f"h{i}.com",) for i in range(5)], ["host"])
+    pruned = policy.join(F.broadcast(active), "host", "left_semi")
+    prepared = F.broadcast(pol.prepare_policy(pruned, None, 0))
+    fr = _mk_frontier(spark, [f"http://h{i}.com/p" for i in range(5)])
+    admitted, *_ = pol.admit(fr, prepared, 0)
+    plan = explain_str(admitted, "simple")
+    assert "LeftSemi" in plan, plan

@@ -94,15 +94,15 @@ def test_fused_insert_and_probe_same_round_dup(spark, tmp_path):
     probe = spark.createDataFrame(
         [(k,) for k in range(50, 150)], ["url_key"]
     ).withColumn("tag", F.lit("x"))
-    f2, unseen = f.insert_and_probe(ins, probe, round_no=0)
-    got = sorted(r["url_key"] for r in unseen.collect())
+    f2, _, _, parts = f.insert_and_probe(ins, probe, round_no=0)
+    got = sorted(r["url_key"] for r in parts["unseen"].collect())
     assert got == list(range(100, 150))
     # next round: everything inserted so far is seen via the new filter
     probe2 = spark.createDataFrame([(k,) for k in range(150)], ["url_key"])
-    f3, unseen2 = f2.insert_and_probe(
+    f3, _, _, parts2 = f2.insert_and_probe(
         spark.createDataFrame([(999999,)], ["url_key"]), probe2, round_no=1
     )
-    got2 = sorted(r["url_key"] for r in unseen2.collect())
+    got2 = sorted(r["url_key"] for r in parts2["unseen"].collect())
     assert got2 == list(range(100, 150))
     f3.release()
 

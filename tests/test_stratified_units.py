@@ -24,7 +24,7 @@ def _rows(spark, specs):
 
 
 def _qs(spark, rows):
-    """rows: (host, (p, d, u) | None, n_cold, n_hot, deficit, pull_t)."""
+    """rows: (host, (p,d,u)|None, n_cold, n_hot, deficit, pull_t, ever_cold)."""
     return spark.createDataFrame(list(rows), strat.QUEUE_STATE_SCHEMA)
 
 
@@ -42,7 +42,7 @@ def test_route_splits_on_watermark(spark):
             ("http://b.com/p5", 5, 0),   # no qs row (n_cold 0) -> hot + raise
         ],
     )
-    qs = _qs(spark, [("a.com", (2, 0, "zzz"), 3, 1, False, None)])
+    qs = _qs(spark, [("a.com", (2, 0, "zzz"), 3, 1, False, None, True)])
     hs = _hs(spark, [("a.com", 2.0), ("b.com", 2.0)])
     j, to_hot, to_cold, _pend, qs3 = strat.route(rows, qs, hs, n_buckets=8, chunk=4)
     hot = {r["url"] for r in to_hot.collect()}
@@ -66,7 +66,7 @@ def test_route_splits_on_watermark(spark):
 
 def test_route_null_watermark_means_minus_inf(spark):
     rows = _rows(spark, [("http://a.com/p0", 0, 0)])
-    qs = _qs(spark, [("a.com", None, 2, 0, True, 4)])  # cold nonempty, W = -inf
+    qs = _qs(spark, [("a.com", None, 2, 0, True, 4, True)])  # cold nonempty, W = -inf
     hs = _hs(spark, [("a.com", 1.0)])
     j, to_hot, to_cold, _pend, qs3 = strat.route(rows, qs, hs, n_buckets=8, chunk=4)
     assert to_hot.count() == 0  # everything sorts above -inf -> cold
@@ -91,7 +91,7 @@ def test_route_diverts_dead_seed_rows(spark):
     )
     rows = rows.unionByName(dead)
     dead_seeds = spark.createDataFrame([("http://dead.seed/x",)], ["seed"])
-    qs = _qs(spark, [("a.com", (2, 0, "zzz"), 3, 1, False, None)])
+    qs = _qs(spark, [("a.com", (2, 0, "zzz"), 3, 1, False, None, True)])
     hs = _hs(spark, [("a.com", 2.0)])
     j, to_hot, to_cold, pend, qs3 = strat.route(
         rows, qs, hs, n_buckets=8, chunk=4, dead_seeds=dead_seeds
@@ -104,11 +104,33 @@ def test_route_diverts_dead_seed_rows(spark):
     j.unpersist()
 
 
+def test_route_drops_idle_hot_only_hosts(spark):
+    """VERDICT r2 #9: queue_state must not leak one row per host ever
+    touched. A hot-only host (ever_cold=False) with nothing queued drops
+    out of queue_state; an ever-cold host is retained even when drained
+    (its W marks the physical dead rows in the append-only deltas)."""
+    rows = _rows(spark, [("http://live.com/p1", 1, 0)])
+    qs = _qs(
+        spark,
+        [
+            ("idle-hot.com", (5, 0, "u"), 0, 1, False, None, False),
+            ("drained-cold.com", (5, 0, "u"), 0, 0, False, None, True),
+        ],
+    )
+    hs = _hs(spark, [("live.com", 2.0)])
+    j, to_hot, to_cold, _pend, qs3 = strat.route(rows, qs, hs, n_buckets=8, chunk=4)
+    hosts = {r["host"] for r in qs3.collect()}
+    assert "idle-hot.com" not in hosts
+    assert "drained-cold.com" in hosts
+    assert "live.com" in hosts
+    j.unpersist()
+
+
 def test_replenish_no_deficit_is_identity(spark, tmp_path):
     """An empty deficit-bucket list (precomputed by the previous round's
     routing) short-circuits replenish — the round never reads cold."""
     hot = _rows(spark, [("http://a.com/p1", 1, 0), ("http://a.com/p2", 2, 0)])
-    qs = _qs(spark, [("a.com", (2, 0, "http://a.com/p2"), 5, 2, False, None)])
+    qs = _qs(spark, [("a.com", (2, 0, "http://a.com/p2"), 5, 2, False, None, True)])
     cold_dir = str(tmp_path / "cold")
     _rows(spark, [("http://a.com/p7", 7, 0)]).withColumn(
         "hbucket", strat.hbucket_col(F.col("host"), 8)
@@ -129,7 +151,7 @@ def test_replenish_pulls_top_chunk_and_advances_w(spark, tmp_path):
     cold_rows.write.partitionBy("hbucket").parquet(cold_dir)
     hot = spark.createDataFrame([], cold_rows.drop("hbucket").schema)
     # deficit + pull_t precomputed by the previous round: pull top-4
-    qs = _qs(spark, [("a.com", (4, 0, "zzz"), 10, 0, True, 4)])
+    qs = _qs(spark, [("a.com", (4, 0, "zzz"), 10, 0, True, 4, True)])
     buckets = [
         r["b"]
         for r in qs.select(strat.hbucket_col(F.col("host"), 8).alias("b")).collect()
@@ -188,8 +210,8 @@ def test_compact_drops_dead_rows(spark, tmp_path):
     ).withColumn("hbucket", strat.hbucket_col(F.col("host"), 8))
     cold_dir = str(tmp_path / "cold")
     rows.write.partitionBy("hbucket").parquet(cold_dir)
-    qs = _qs(spark, [("a.com", (5, 0, "m"), 1, 0, True, 4),
-                     ("b.com", None, 1, 0, True, 4)])
+    qs = _qs(spark, [("a.com", (5, 0, "m"), 1, 0, True, 4, True),
+                     ("b.com", None, 1, 0, True, 4, True)])
     live = strat.compact_cold(spark, qs, [cold_dir])
     assert {r["url"] for r in live.collect()} == {
         "http://a.com/live", "http://b.com/live"
