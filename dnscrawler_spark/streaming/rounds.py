@@ -7,10 +7,10 @@ every in-flight URL at once (SURVEY §3.3):
     admitted    = politeness(frontier_r)               # X5/W2
     fetched     = admitted ⋈ pages on url_key          # S2
     facts       = explode(parse(fetched))              # P1-P7, A1/A5
-    candidates  = edges ⋈ glue                         # J1
-    new         = (candidates ⟂ seen) ⟂ in-flight      # J2/J3/P11
+    candidates  = dedup(edges)                         # A4 (two-struct)
+    verdicts    = fused pass: seen ⊕ glue G ⊕ E        # J1/J2/J3/P11
     frontier_r+1= leftover ∪ retries ∪ new             # SO1/S7
-    seen'       = seen ⊕ insert(fetched ∪ terminal ∪ blocked)
+    seen'       = seen ⊕ insert(fetched ∪ terminal ∪ blocked ∪ resolved)
     commit snapshot r+1 (atomic manifest)              # O2
 
 Resume: ``CrawlEngine.resume()`` reads the latest committed manifest;
