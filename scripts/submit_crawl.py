@@ -37,7 +37,9 @@ def main() -> None:
     ap.add_argument("--px-scale", type=int, default=1)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--stratified", action="store_true")
-    ap.add_argument("--two-wave", action="store_true")
+    # two-wave is the engine default (the reference runs two waves
+    # unconditionally); this opts into the leaner single-wave loop
+    ap.add_argument("--single-wave", action="store_true")
     ap.add_argument("--pipeline-writes", action="store_true")
     args = ap.parse_args()
 
@@ -57,7 +59,7 @@ def main() -> None:
         px_scale=args.px_scale,
         partitions=args.partitions,
         stratified=args.stratified,
-        two_wave=args.two_wave,
+        two_wave=not args.single_wave,
         pipeline_writes=args.pipeline_writes,
         collect_lineage=False,
     )
