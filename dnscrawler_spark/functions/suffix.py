@@ -155,19 +155,41 @@ def is_ps_host_col(host: Column) -> Column:
 # ------------------------------------------------------- pure-Catalyst path
 
 
+_RULES_DF_CACHE: dict[int, DataFrame] = {}
+
+
 def suffix_rules_df(spark) -> DataFrame:
     """The rules table for the broadcast-join path: one row per rule with
     its match key (the literal suffix a host candidate must equal) and
     the resulting suffix label count. Wildcards contribute their base
     with wild=true (match at base_len+1); exceptions carry rank 0 so a
-    min() beats every normal match."""
+    min() beats every normal match.
+
+    Memoized per session as a parquet-backed frame: a raw
+    ``createDataFrame`` embeds a 9.5k-row LocalRelation into EVERY
+    consumer's logical plan (the crawl's facts union references this
+    once per glue-resolved branch per round — megabytes of plan and a
+    rebuilt broadcast each time, measured as the dominant cost of the
+    two-wave facts write); a one-time parquet round-trip turns every
+    reference into a small file scan."""
+    key = id(spark)
+    if key in _RULES_DF_CACHE:
+        return _RULES_DF_CACHE[key]
+    import tempfile
+
     normal, wild, exc = _load_rules()
     rows = (
         [(r, len(r.split(".")), 1) for r in normal]
         + [(r, len(r.split(".")) + 1, 2) for r in wild]  # matched via parent-of-candidate
         + [(r, len(r.split(".")) - 1, 0) for r in exc]
     )
-    return spark.createDataFrame(rows, "rule string, suffix_len int, rank int")
+    path = tempfile.mkdtemp(prefix="psl_rules_")
+    spark.createDataFrame(
+        rows, "rule string, suffix_len int, rank int"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    df = spark.read.schema("rule string, suffix_len int, rank int").parquet(path)
+    _RULES_DF_CACHE[key] = df
+    return df
 
 
 def suffix_facts_for_hosts(hosts: DataFrame, host_col: str = "host") -> DataFrame:

@@ -749,44 +749,50 @@ class CrawlEngine:
             piece = bump(df, branch_obs[name])
             frontier2 = piece if frontier2 is None else frontier2.union(piece)
 
+        # facts assembly: same-shape branches from the two waves are
+        # UNIONED FIRST so each fact machine (the PSL suffix join for
+        # glue-resolved rows especially — distinct + broadcast-join +
+        # hash-agg + joinback, several stages per invocation) runs once
+        # per round, not once per wave. At fixture scale the facts job is
+        # pure per-stage latency, and halving its stage count is what
+        # keeps the two-wave default's probe walls sane.
+        if wave_b is None:
+            fetched_all = fetched
+            glue_res_all = glue_resolved
+            terminal_all = terminal
+            nonhaz_all = nonhaz
+            blocked_all = blocked
+            qmin_all = qmin
+        else:
+            fetched_all = fetched.unionByName(wave_b["fetched"])
+            glue_res_all = glue_resolved.unionByName(wave_b["glue_resolved"])
+            terminal_all = terminal.unionByName(wave_b["terminal"])
+            nonhaz_all = nonhaz.unionByName(wave_b["nonhaz"])
+            blocked_all = blocked.unionByName(wave_b["blocked"])
+            qmin_all = qmin.unionByName(wave_b["qmin"])
+        if blocked_cand is not None:
+            # robots gating at enqueue (stratified): candidate-time blocks
+            blocked_all = blocked_all.unionByName(blocked_cand.select(*FRONTIER_COLS))
+        if wave_b is not None and wave_b["blocked_cand"] is not None:
+            blocked_all = blocked_all.unionByName(
+                wave_b["blocked_cand"].select(*FRONTIER_COLS)
+            )
         facts = (
-            X.fetched_facts(fetched, r)
-            .union(X.fetched_facts(glue_resolved, r))  # glue payload facts
-            .union(X.simple_facts(glue_resolved, "glue_resolved", r))
-            .union(X.failure_facts(terminal, r))
-            .union(X.simple_facts(nonhaz, "nonhazardous", r))
-            .union(X.simple_facts(blocked, "robots_blocked", r))
+            X.fetched_facts(fetched_all, r)
+            .union(X.fetched_facts(glue_res_all, r))  # glue payload facts
+            .union(X.simple_facts(glue_res_all, "glue_resolved", r))
+            .union(X.failure_facts(terminal_all, r))
+            .union(X.simple_facts(nonhaz_all, "nonhazardous", r))
+            .union(X.simple_facts(blocked_all, "robots_blocked", r))
             .union(
                 X.simple_facts(
-                    qmin.select("seed", F.col("orig_url").alias("url")),
+                    qmin_all.select("seed", F.col("orig_url").alias("url")),
                     "qmin_requery", r,
                 )
             )
         )
-        if wave_b is not None:
-            facts = (
-                facts.union(X.fetched_facts(wave_b["fetched"], r))
-                .union(X.fetched_facts(wave_b["glue_resolved"], r))
-                .union(X.simple_facts(wave_b["glue_resolved"], "glue_resolved", r))
-                .union(X.failure_facts(wave_b["terminal"], r))
-                .union(X.simple_facts(wave_b["nonhaz"], "nonhazardous", r))
-                .union(X.simple_facts(wave_b["blocked"], "robots_blocked", r))
-                .union(
-                    X.simple_facts(
-                        wave_b["qmin"].select("seed", F.col("orig_url").alias("url")),
-                        "qmin_requery", r,
-                    )
-                )
-            )
         if over_budget is not None:
             facts = facts.union(X.simple_facts(over_budget, "budget_exceeded", r))
-        if blocked_cand is not None:
-            # robots gating at enqueue (stratified): candidate-time blocks
-            facts = facts.union(X.simple_facts(blocked_cand, "robots_blocked", r))
-        if wave_b is not None and wave_b["blocked_cand"] is not None:
-            facts = facts.union(
-                X.simple_facts(wave_b["blocked_cand"], "robots_blocked", r)
-            )
 
         # ---- parallel snapshot writes ---------------------------------------
         nxt = Snapshot(
