@@ -400,6 +400,19 @@ def q_mm_frame_sample(spark, sf):
 _FIXTURE_CRAWL_CACHE: dict[int, tuple] = {}
 _ORACLE_DUMP_DIR = "/tmp/dnscrawler_spark_probe"
 
+# Fixture shape (VERDICT r3 #1: the r2 shape needed 8 two-wave rounds to
+# reach the qmin motif, which blew the probes past the driver's
+# correctness-harness patience). This shape was scanned for motif
+# richness: at gen_seed=13 / 12 seeds / 5 rounds the oracle emits 14
+# fact kinds — glue_resolved, hazardous, ip_ns_records,
+# missing_ns_records, qmin_requery, robots_blocked, ps_* promotions and
+# the url/host/tld/sld base — a strict superset of the old 8-round
+# fixture's 8 kinds, at 5/8 the rounds.
+_FIX_N = 240
+_FIX_SEED = 13
+_FIX_NSEEDS = 12
+_FIX_ROUNDS = 5
+
 
 def _fixture_crawl(spark):
     """One fixture crawl shared by every crawl_* probe (engine run +
@@ -413,10 +426,17 @@ def _fixture_crawl(spark):
     from dnscrawler_spark.oracle import crawler as oracle_crawler
     from dnscrawler_spark.streaming.rounds import CrawlConfig, CrawlEngine
 
-    n = 240
+    n = _FIX_N
     cfg = CrawlConfig(
-        max_rounds=8, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
-        partitions=4, fetch_mode="synthetic", n_pages=n, collect_lineage=False,
+        # 2-way state/shuffle layout: a 240-page crawl is pure scheduling
+        # latency — fewer shards/partitions = fewer tiny tasks per stage
+        # (shape-only knobs; admission/parity are layout-independent)
+        max_rounds=_FIX_ROUNDS, seen_shards=2, seen_bits=1 << 16,
+        seen_buckets=1 << 10, partitions=2, fetch_mode="synthetic",
+        n_pages=n, collect_lineage=False, gen_seed=_FIX_SEED,
+        # writes overlap the next round's compute (parity-tested:
+        # test_pipelined_writes_parity) — measured -43% fixture wall
+        pipeline_writes=True,
     )
     hs = datagen.generate_host_state_synthetic(spark, datagen.default_n_hosts(n))
     eng = CrawlEngine(spark, None, tempfile.mkdtemp(prefix="q_crawl_"), cfg)
@@ -424,9 +444,9 @@ def _fixture_crawl(spark):
     aqe = spark.conf.get("spark.sql.adaptive.enabled")
     shuf = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
-        snap = eng.start(datagen.seed_urls(5, n, seed=42), hs)
+        snap = eng.start(datagen.seed_urls(_FIX_NSEEDS, n, seed=_FIX_SEED), hs)
         final = eng.run(snap)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
@@ -434,8 +454,11 @@ def _fixture_crawl(spark):
     # independent implementation: the sequential pure-Python oracle
     # crawler on the same corpus/seeds (no Spark, no shared operators)
     n_hosts = datagen.default_n_hosts(n)
-    corpus = [datagen.page_row(i, 42, n, n_hosts) for i in range(n)]
-    ores = oracle_crawler.crawl(corpus, datagen.seed_urls(5, n, seed=42), max_rounds=8)
+    corpus = [datagen.page_row(i, _FIX_SEED, n, n_hosts) for i in range(n)]
+    ores = oracle_crawler.crawl(
+        corpus, datagen.seed_urls(_FIX_NSEEDS, n, seed=_FIX_SEED),
+        max_rounds=_FIX_ROUNDS, gen_seed=_FIX_SEED,
+    )
     _FIXTURE_CRAWL_CACHE[key] = (eng, final, ores)
     return _FIXTURE_CRAWL_CACHE[key]
 
@@ -527,27 +550,31 @@ def _fixture_crawl_stratified(spark):
     from dnscrawler_spark.oracle import crawler as oracle_crawler
     from dnscrawler_spark.streaming.rounds import CrawlConfig, CrawlEngine
 
-    n = 240
+    n = _FIX_N
     cfg = CrawlConfig(
-        max_rounds=8, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
-        partitions=4, fetch_mode="synthetic", n_pages=n, collect_lineage=False,
-        stratified=True,
+        max_rounds=_FIX_ROUNDS, seen_shards=2, seen_bits=1 << 16,
+        seen_buckets=1 << 10, partitions=2, fetch_mode="synthetic",
+        n_pages=n, collect_lineage=False, stratified=True, gen_seed=_FIX_SEED,
+        pipeline_writes=True,  # parity-tested; -43% fixture wall
     )
     hs = datagen.generate_host_state_synthetic(spark, datagen.default_n_hosts(n))
     eng = CrawlEngine(spark, None, tempfile.mkdtemp(prefix="q_strat_"), cfg)
     aqe = spark.conf.get("spark.sql.adaptive.enabled")
     shuf = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
-        snap = eng.start(datagen.seed_urls(5, n, seed=42), hs)
+        snap = eng.start(datagen.seed_urls(_FIX_NSEEDS, n, seed=_FIX_SEED), hs)
         final = eng.run(snap)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
         spark.conf.set("spark.sql.shuffle.partitions", shuf)
     n_hosts = datagen.default_n_hosts(n)
-    corpus = [datagen.page_row(i, 42, n, n_hosts) for i in range(n)]
-    ores = oracle_crawler.crawl(corpus, datagen.seed_urls(5, n, seed=42), max_rounds=8)
+    corpus = [datagen.page_row(i, _FIX_SEED, n, n_hosts) for i in range(n)]
+    ores = oracle_crawler.crawl(
+        corpus, datagen.seed_urls(_FIX_NSEEDS, n, seed=_FIX_SEED),
+        max_rounds=_FIX_ROUNDS, gen_seed=_FIX_SEED,
+    )
     _FIXTURE_STRAT_CACHE[key] = (eng, final, ores)
     return _FIXTURE_STRAT_CACHE[key]
 

@@ -446,10 +446,16 @@ def fetched_facts(fetched: DataFrame, round_no: int) -> DataFrame:
 
     When the input already carries (tld, sld) — fetch_synthetic computes
     them inside the fetch's Python stage — this is a pure projection;
-    otherwise the suffix facts come from the pure-Catalyst PSL
-    broadcast-join over the (small) distinct-host dimension (join-mode
-    fixtures, glue-resolved rows) — no Python stage either way."""
-    from dnscrawler_spark.functions.suffix import suffix_facts_for_hosts
+    otherwise (join-mode fixtures, glue-resolved rows) the suffix facts
+    come from the vectorized Arrow UDF path (suffix_struct_col: the PSL
+    rides the executor closure, zero shuffle, stays in this stage). The
+    pure-Catalyst broadcast-join alternative (suffix_facts_for_hosts)
+    remains agreement-tested in test_canon_suffix, but as a per-round
+    stage it costs distinct + explode + broadcast-NL join + hash-agg +
+    joinback — ~5 scheduling latencies per round at fixture scale and a
+    9.5k-rule nested-loop probe per candidate at 10^10 scale, vs one
+    in-stage hash lookup here (VERDICT r3 #1/#3)."""
+    from dnscrawler_spark.functions.suffix import suffix_struct_col
 
     if "tld" in fetched.columns and "sld" in fetched.columns:
         base = fetched.select(
@@ -457,10 +463,15 @@ def fetched_facts(fetched: DataFrame, round_no: int) -> DataFrame:
             is_ps_host_col(F.col("host")).alias("ps"),
         )
     else:
-        sfx = F.broadcast(suffix_facts_for_hosts(fetched.select("host")))
         base = fetched.select(
-            "seed", "url", "host", is_ps_host_col(F.col("host")).alias("ps")
-        ).join(sfx, "host", "left")
+            "seed", "url", "host",
+            is_ps_host_col(F.col("host")).alias("ps"),
+            suffix_struct_col(F.col("host")).alias("_sfx"),
+        ).select(
+            "seed", "url", "host", "ps",
+            F.col("_sfx.tld").alias("tld"),
+            F.col("_sfx.sld").alias("sld"),
+        )
     facts = base.select(
         "seed",
         "ps",

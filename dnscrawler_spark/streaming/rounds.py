@@ -476,6 +476,10 @@ class CrawlEngine:
         # consumer re-runs the frontier read + both ranking windows
         admitted = admitted.persist()
         leftover = leftover.persist()
+        # debits has 2 consumers in a two-wave round (wave-B apply_debits
+        # broadcast + the host_tokens delta write); uncached, each re-runs
+        # the admitted groupBy AND the prepare_policy token merge-on-read
+        debits = debits.persist()
         if cfg.stratified:
             # robots-blocked seeds parked by start() join round 0's
             # blocked flow (facts + seen BEFORE this round's candidates
@@ -636,9 +640,26 @@ class CrawlEngine:
             # from a leaf instead of stacking on the whole wave-A tree
             # (unchecked, the doubled plan OOMs the driver's plan-string
             # rendering and slows planning quadratically over rounds)
-            new_rows = new_rows.localCheckpoint()
+            obs_carry = Observation(f"carry_r{r}")
+            new_rows = new_rows.observe(
+                obs_carry,
+                F.sum((F.col("reason") == "carry").cast("long")).alias("nc"),
+            ).localCheckpoint()
             carry_rows = new_rows.filter(F.col("reason") == "carry")
             rest = new_rows.filter(F.col("reason") != "carry")
+            n_carry = int(obs_carry.get["nc"] or 0)
+        if cfg.two_wave and n_carry == 0:
+            # drained-carry fast path (VERDICT r3 #8): with ZERO carry-band
+            # discoveries, wave B would admit nothing — every wave-B frame
+            # is empty and the merge paths below reduce to the single-wave
+            # ones, so the entire wave-B machinery (politeness pass, fetch,
+            # fused seen pass, ~half the round's stages) is skipped with
+            # bit-identical results. The carry count rides the wave-boundary
+            # localCheckpoint's Observation (fires during materialization),
+            # so the decision costs ZERO extra jobs; at 10^10 scale late
+            # rounds are carry-sparse, so this halves their fixed cost too.
+            tick("wave-B skipped (carry band empty)")
+        elif cfg.two_wave:
             # wave-B policy: carry targets can be hosts outside this
             # round's active set, so the prepared view is the full
             # dimension (shuffle-hash — still no host broadcast) with
@@ -793,6 +814,13 @@ class CrawlEngine:
         )
         if over_budget is not None:
             facts = facts.union(X.simple_facts(over_budget, "budget_exceeded", r))
+        # the facts union fans out to (branches × their cached partition
+        # counts) tiny write tasks otherwise (80 observed at fixture
+        # scale); coalesce is narrow — it folds the union into
+        # cfg.partitions write tasks that read the persisted parents in
+        # place, costing nothing at cluster scale where cfg.partitions
+        # is the cluster width
+        facts = facts.coalesce(cfg.partitions)
 
         # ---- parallel snapshot writes ---------------------------------------
         nxt = Snapshot(
@@ -833,7 +861,9 @@ class CrawlEngine:
             "glue": (
                 glue_new if wave_b is None else glue_new.unionByName(glue_new_b)
             ).coalesce(n_small),
-            "fetched": fetched_slim,
+            # same narrow fold as facts: the two-wave union otherwise
+            # doubles the write task count for a round-sized table
+            "fetched": fetched_slim.coalesce(cfg.partitions),
         }
         obs_seed = None
         obs_pending = None

@@ -9,10 +9,18 @@ from dnscrawler_spark import datagen
 from dnscrawler_spark.oracle import crawler as oracle
 from dnscrawler_spark.streaming.rounds import CrawlConfig, CrawlEngine, FACT_KINDS
 
+# Fixture shape shared with the __spark_entry__ probes (VERDICT r3 #1/#5:
+# the old 8-round/seed-42 shape needed all 8 two-wave rounds to reach the
+# qmin motif; this scanned shape reaches EVERY motif — glue short-circuit,
+# qmin fallback, robots block, ip/missing-ns failures, ps_ promotion,
+# two-wave carry moves, seed-budget demotion — by round 5, at 14 fact
+# kinds vs the old 8)
 N = 240
-SEED = 42
-N_SEEDS = 5
-MAX_ROUNDS = 8
+SEED = 13
+N_SEEDS = 12
+MAX_ROUNDS = 5
+SUB_ROUNDS = 4  # config-variant crawls (resume/budget/pipelined): every
+# motif they assert still fires by round 4 (oracle-scanned)
 
 
 @pytest.fixture(scope="module")
@@ -24,7 +32,7 @@ def corpus():
 @pytest.fixture(scope="module")
 def oracle_result(corpus):
     seeds = datagen.seed_urls(N_SEEDS, N, seed=SEED)
-    return oracle.crawl(corpus, seeds, max_rounds=MAX_ROUNDS)
+    return oracle.crawl(corpus, seeds, max_rounds=MAX_ROUNDS, gen_seed=SEED)
 
 
 @pytest.fixture(scope="module")
@@ -34,7 +42,7 @@ def engine_run(spark, tmp_path_factory):
     hs = datagen.generate_host_state(pages)
     cfg = CrawlConfig(
         max_rounds=MAX_ROUNDS, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
-        partitions=4, collect_lineage=True,  # opt-in: admitted breakdown tested below
+        partitions=4, gen_seed=SEED, collect_lineage=True,  # opt-in: admitted breakdown tested below
     )
     eng = CrawlEngine(spark, pages, root, cfg)
     seeds = datagen.seed_urls(N_SEEDS, N, seed=SEED)
@@ -109,7 +117,7 @@ def test_synthetic_fetch_parity(spark, tmp_path_factory, oracle_result):
     root = str(tmp_path_factory.mktemp("synth"))
     cfg = CrawlConfig(
         max_rounds=MAX_ROUNDS, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
-        partitions=4, fetch_mode="synthetic", n_pages=N,
+        partitions=4, fetch_mode="synthetic", n_pages=N, gen_seed=SEED,
     )
     hs = datagen.generate_host_state_synthetic(spark, datagen.default_n_hosts(N))
     eng = CrawlEngine(spark, None, root, cfg)
@@ -119,15 +127,18 @@ def test_synthetic_fetch_parity(spark, tmp_path_factory, oracle_result):
     assert eng.crawl_trace(final) == oracle_result.trace
 
 
-def test_resume_equals_uninterrupted(spark, tmp_path_factory, oracle_result):
+def test_resume_equals_uninterrupted(spark, tmp_path_factory, corpus):
     """Kill after round 2, resume with a fresh engine: final state must
     equal the uninterrupted run (SURVEY §5.2.5)."""
     root = str(tmp_path_factory.mktemp("resume"))
+    ores = oracle.crawl(
+        corpus, datagen.seed_urls(N_SEEDS, N, seed=SEED), max_rounds=SUB_ROUNDS, gen_seed=SEED
+    )
     pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
     hs = datagen.generate_host_state(pages)
     cfg = CrawlConfig(
-        max_rounds=MAX_ROUNDS, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
-        partitions=4,
+        max_rounds=SUB_ROUNDS, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
+        partitions=4, gen_seed=SEED,
     )
     eng1 = CrawlEngine(spark, pages, root, cfg)
     snap = eng1.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
@@ -138,8 +149,8 @@ def test_resume_equals_uninterrupted(spark, tmp_path_factory, oracle_result):
     resumed = eng2.resume()
     assert resumed.round == 2
     final = eng2.run(resumed)
-    assert {r["url"] for r in eng2.seen_urls(final).collect()} == oracle_result.seen
-    assert eng2.crawl_trace(final) == oracle_result.trace
+    assert {r["url"] for r in eng2.seen_urls(final).collect()} == ores.seen
+    assert eng2.crawl_trace(final) == ores.trace
 
 
 def test_trace_digest_parity(engine_run, oracle_result, spark):
@@ -229,13 +240,13 @@ def test_seed_budget_parity(spark, tmp_path_factory, corpus):
     budget = 6
     ores = oracle.crawl(
         corpus, datagen.seed_urls(N_SEEDS, N, seed=SEED),
-        max_rounds=MAX_ROUNDS, seed_budget=budget,
+        max_rounds=SUB_ROUNDS, seed_budget=budget, gen_seed=SEED,
     )
     pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
     hs = datagen.generate_host_state(pages)
     cfg = CrawlConfig(
-        max_rounds=MAX_ROUNDS, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
-        partitions=4, seed_budget=budget,
+        max_rounds=SUB_ROUNDS, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
+        partitions=4, seed_budget=budget, gen_seed=SEED,
     )
     eng = CrawlEngine(spark, pages, root, cfg)
     snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
@@ -252,64 +263,55 @@ def test_seed_budget_parity(spark, tmp_path_factory, corpus):
         assert list(results[seed]["budget_exceeded"]) == want
 
 
-def test_two_wave_parity(spark, tmp_path_factory, corpus):
-    """W3 (two-wave zone-cut): with two_wave on, carry-band discoveries
-    are fetched within the same round on BOTH sides — full seen/trace/
-    facts parity, and the sub-round actually fires (some page is fetched
-    one round earlier than in the single-wave crawl)."""
-    root = str(tmp_path_factory.mktemp("twowave"))
-    ores = oracle.crawl(
-        corpus, datagen.seed_urls(N_SEEDS, N, seed=SEED),
-        max_rounds=MAX_ROUNDS, two_wave=True,
-    )
+def test_two_wave_parity(engine_run, oracle_result, corpus):
+    """W3 (two-wave zone-cut): two_wave is the ENGINE DEFAULT, so the
+    module's engine_run/oracle_result pair (cfg without two_wave →
+    two_wave=True on both sides) already IS the two-wave parity crawl —
+    the seen/trace/facts assertions above cover it. This test pins the
+    remaining claim: the wave-B sub-round actually FIRES in this fixture
+    (some carry target is fetched a round earlier than a single-wave
+    crawl would), so the parity green isn't vacuous."""
+    eng, final = engine_run
     ores1 = oracle.crawl(
         corpus, datagen.seed_urls(N_SEEDS, N, seed=SEED), max_rounds=MAX_ROUNDS,
         two_wave=False,  # the single-wave reference run for the "moved" check
+        gen_seed=SEED,
     )
-    pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
-    hs = datagen.generate_host_state(pages)
-    cfg = CrawlConfig(
-        max_rounds=MAX_ROUNDS, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
-        partitions=4, two_wave=True,
-    )
-    eng = CrawlEngine(spark, pages, root, cfg)
-    snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
-    final = eng.run(snap)
-    assert {r["url"] for r in eng.seen_urls(final).collect()} == ores.seen
-    assert eng.crawl_trace(final) == ores.trace
-    # the wave-B sub-round must actually fire in this fixture
     earliest1 = {}
     for rr, u in ores1.trace:
         earliest1.setdefault(u, rr)
-    moved = [u for rr, u in ores.trace if u in earliest1 and rr < earliest1[u]]
+    moved = [
+        u for rr, u in oracle_result.trace if u in earliest1 and rr < earliest1[u]
+    ]
     assert moved, "two-wave must fetch some carry target a round earlier"
-    results = {r["seed"]: r for r in eng.results(final).collect()}
-    assert set(results) == set(ores.facts)
-    for seed, kinds in ores.facts.items():
-        for kind in FACT_KINDS:
-            want = sorted(kinds.get(kind, set()))
-            got = list(results[seed][kind])
-            assert got == want, f"{seed} {kind}"
+    # and the engine's trace (already == oracle_result.trace by
+    # test_crawl_order_parity) shows the same early fetches
+    etrace = eng.crawl_trace(final)
+    emoved = [u for rr, u in etrace if u in earliest1 and rr < earliest1[u]]
+    assert sorted(emoved) == sorted(moved)
 
 
-def test_pipelined_writes_parity(spark, tmp_path_factory, oracle_result):
+def test_pipelined_writes_parity(spark, tmp_path_factory, corpus):
     """pipeline_writes=True (fetched/facts writes overlap the next round)
     must not change ANY output: seen/trace/facts parity, and a fresh
     engine can resume from the flushed store."""
     root = str(tmp_path_factory.mktemp("pipelined"))
+    ores = oracle.crawl(
+        corpus, datagen.seed_urls(N_SEEDS, N, seed=SEED), max_rounds=SUB_ROUNDS, gen_seed=SEED
+    )
     pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
     hs = datagen.generate_host_state(pages)
     cfg = CrawlConfig(
-        max_rounds=MAX_ROUNDS, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
-        partitions=4, pipeline_writes=True,
+        max_rounds=SUB_ROUNDS, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
+        partitions=4, pipeline_writes=True, gen_seed=SEED,
     )
     eng = CrawlEngine(spark, pages, root, cfg)
     snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
     final = eng.run(snap)  # run() flushes pending writes
-    assert {r["url"] for r in eng.seen_urls(final).collect()} == oracle_result.seen
-    assert eng.crawl_trace(final) == oracle_result.trace
+    assert {r["url"] for r in eng.seen_urls(final).collect()} == ores.seen
+    assert eng.crawl_trace(final) == ores.trace
     results = {r["seed"]: r for r in eng.results(final).collect()}
-    for seed, kinds in oracle_result.facts.items():
+    for seed, kinds in ores.facts.items():
         for kind in FACT_KINDS:
             assert list(results[seed][kind]) == sorted(kinds.get(kind, set()))
     # flushed store is resumable by a fresh engine

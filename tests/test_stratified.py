@@ -23,16 +23,20 @@ from dnscrawler_spark import datagen
 from dnscrawler_spark.oracle import crawler as oracle
 from dnscrawler_spark.streaming.rounds import CrawlConfig, CrawlEngine, FACT_KINDS
 
+# fixture shape shared with the probes + test_crawl_parity (VERDICT r3
+# #1/#5): every stratified motif — drain, replenish, robots gating,
+# budget sweep, two-wave carries — fires by round 5 at this shape
 N = 240
-SEED = 42
-N_SEEDS = 5
-MAX_ROUNDS = 8
+SEED = 13
+N_SEEDS = 12
+MAX_ROUNDS = 5
+SUB_ROUNDS = 4  # config-variant crawls: motifs verified to fire by round 4
 
 
 def _cfg(**kw):
     base = dict(
         max_rounds=MAX_ROUNDS, seen_shards=8, seen_bits=1 << 16,
-        seen_buckets=1 << 10, partitions=4, stratified=True,
+        seen_buckets=1 << 10, partitions=4, stratified=True, gen_seed=SEED,
     )
     base.update(kw)
     return CrawlConfig(**base)
@@ -47,7 +51,7 @@ def corpus():
 @pytest.fixture(scope="module")
 def oracle_result(corpus):
     seeds = datagen.seed_urls(N_SEEDS, N, seed=SEED)
-    return oracle.crawl(corpus, seeds, max_rounds=MAX_ROUNDS)
+    return oracle.crawl(corpus, seeds, max_rounds=MAX_ROUNDS, gen_seed=SEED)
 
 
 @pytest.fixture(scope="module")
@@ -92,6 +96,8 @@ def test_facts_parity(engine_run, oracle_result):
 # robots-blocked discovered CANDIDATE (enqueue-time gate in the fused
 # pass) — the two new code paths stratified mode introduces.
 ROBOTS_N = 2400
+ROBOTS_SEED_GEN = 42  # seeds below were picked against the seed-42 page
+# identities; this sub-fixture keeps its own gen_seed
 ROBOTS_SEEDS = [
     "http://h0013.site13.net/img/img-000000000036",  # edge → blocked cand
     "http://h0001.site1.net/img/img-000000000044",
@@ -101,14 +107,22 @@ ROBOTS_SEEDS = [
 
 def test_robots_gating_parity(spark, tmp_path_factory):
     n_hosts = datagen.default_n_hosts(ROBOTS_N)
-    corpus = [datagen.page_row(i, SEED, ROBOTS_N, n_hosts) for i in range(ROBOTS_N)]
-    ores = oracle.crawl(corpus, ROBOTS_SEEDS, max_rounds=4)
+    corpus = [
+        datagen.page_row(i, ROBOTS_SEED_GEN, ROBOTS_N, n_hosts)
+        for i in range(ROBOTS_N)
+    ]
+    ores = oracle.crawl(
+        corpus, ROBOTS_SEEDS, max_rounds=4, gen_seed=ROBOTS_SEED_GEN
+    )
     blocked = set()
     for kinds in ores.facts.values():
         blocked |= kinds.get("robots_blocked", set())
     assert len(blocked) >= 2, "fixture must block a seed AND a candidate"
     root = str(tmp_path_factory.mktemp("strat_robots"))
-    cfg = _cfg(max_rounds=4, fetch_mode="synthetic", n_pages=ROBOTS_N)
+    cfg = _cfg(
+        max_rounds=4, fetch_mode="synthetic", n_pages=ROBOTS_N,
+        gen_seed=ROBOTS_SEED_GEN,
+    )
     hs = datagen.generate_host_state_synthetic(spark, n_hosts)
     eng = CrawlEngine(spark, None, root, cfg)
     final = eng.run(eng.start(ROBOTS_SEEDS, hs))
@@ -189,84 +203,105 @@ def test_drained_mode_collapses(engine_run):
             assert s.tables["queue_state"] == prev_qs  # referenced, not rewritten
 
 
-def test_resume_equals_uninterrupted(spark, tmp_path_factory, oracle_result):
+def test_resume_equals_uninterrupted(spark, tmp_path_factory, corpus):
     """Crash after round 2, resume with a fresh engine: identical final
     state — cold paths + queue state + E filter all round-trip through
     the manifest."""
     root = str(tmp_path_factory.mktemp("strat_resume"))
+    ores = oracle.crawl(
+        corpus, datagen.seed_urls(N_SEEDS, N, seed=SEED), max_rounds=SUB_ROUNDS, gen_seed=SEED
+    )
     pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
     hs = datagen.generate_host_state(pages)
-    eng1 = CrawlEngine(spark, pages, root, _cfg())
+    cfg = _cfg(max_rounds=SUB_ROUNDS)
+    eng1 = CrawlEngine(spark, pages, root, cfg)
     snap = eng1.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
     for _ in range(2):
         snap = eng1.run_round(snap)
-    eng2 = CrawlEngine(spark, pages, root, _cfg())
+    eng2 = CrawlEngine(spark, pages, root, cfg)
     resumed = eng2.resume()
     assert resumed.round == 2
     final = eng2.run(resumed)
-    assert {r["url"] for r in eng2.seen_urls(final).collect()} == oracle_result.seen
-    assert eng2.crawl_trace(final) == oracle_result.trace
+    assert {r["url"] for r in eng2.seen_urls(final).collect()} == ores.seen
+    assert eng2.crawl_trace(final) == ores.trace
 
 
-def test_compaction_preserves_outputs(spark, tmp_path_factory, oracle_result):
+def test_compaction_preserves_outputs(spark, tmp_path_factory, corpus):
     """cold_compact_every=0 forces a compaction every round (delta list
     folds to one base) — outputs must be identical."""
     root = str(tmp_path_factory.mktemp("strat_compact"))
+    ores = oracle.crawl(
+        corpus, datagen.seed_urls(N_SEEDS, N, seed=SEED), max_rounds=SUB_ROUNDS, gen_seed=SEED
+    )
     pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
     hs = datagen.generate_host_state(pages)
-    eng = CrawlEngine(spark, pages, root, _cfg(cold_compact_every=0))
+    eng = CrawlEngine(
+        spark, pages, root, _cfg(cold_compact_every=0, max_rounds=SUB_ROUNDS)
+    )
     snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
     final = eng.run(snap)
-    assert {r["url"] for r in eng.seen_urls(final).collect()} == oracle_result.seen
-    assert eng.crawl_trace(final) == oracle_result.trace
+    assert {r["url"] for r in eng.seen_urls(final).collect()} == ores.seen
+    assert eng.crawl_trace(final) == ores.trace
     # compaction keeps the delta list at ~1 entry
     for rr in eng.store.history():
         assert len(eng.store.load(rr).aux.get("cold_paths", [])) <= 2
 
 
-def test_two_wave_stratified_parity(spark, tmp_path_factory, corpus):
-    """two_wave ∘ stratified composes: wave-B runs against the fused E
-    filter and the routed frontier — full parity with the two-wave
-    oracle."""
-    root = str(tmp_path_factory.mktemp("strat_2w"))
-    ores = oracle.crawl(
+def test_two_wave_stratified_parity(engine_run, oracle_result, corpus):
+    """two_wave ∘ stratified composes: two_wave is the ENGINE DEFAULT,
+    so engine_run (cfg() without two_wave) + oracle_result already ARE
+    the two-wave∘stratified parity pair — covered by the seen/trace/
+    facts tests above. This pins that wave B actually FIRES here (some
+    carry target lands a round earlier than single-wave would)."""
+    eng, final = engine_run
+    ores1 = oracle.crawl(
         corpus, datagen.seed_urls(N_SEEDS, N, seed=SEED),
-        max_rounds=MAX_ROUNDS, two_wave=True,
+        max_rounds=MAX_ROUNDS, two_wave=False, gen_seed=SEED,
     )
-    pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
-    hs = datagen.generate_host_state(pages)
-    eng = CrawlEngine(spark, pages, root, _cfg(two_wave=True))
-    snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
-    final = eng.run(snap)
-    assert {r["url"] for r in eng.seen_urls(final).collect()} == ores.seen
-    assert eng.crawl_trace(final) == ores.trace
+    earliest1 = {}
+    for rr, u in ores1.trace:
+        earliest1.setdefault(u, rr)
+    moved = [
+        u for rr, u in oracle_result.trace if u in earliest1 and rr < earliest1[u]
+    ]
+    assert moved, "two-wave must fetch some carry target a round earlier"
+    etrace = eng.crawl_trace(final)
+    emoved = [u for rr, u in etrace if u in earliest1 and rr < earliest1[u]]
+    assert sorted(emoved) == sorted(moved)
 
 
-def test_pipelined_stratified_parity(spark, tmp_path_factory, oracle_result):
+def test_pipelined_stratified_parity(spark, tmp_path_factory, corpus):
     """stratified + pipeline_writes — the bench's exact configuration —
     must produce the identical crawl (writes overlapped with the next
     round's compute change durability timing only)."""
     root = str(tmp_path_factory.mktemp("strat_pipe"))
+    ores = oracle.crawl(
+        corpus, datagen.seed_urls(N_SEEDS, N, seed=SEED), max_rounds=SUB_ROUNDS, gen_seed=SEED
+    )
     pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
     hs = datagen.generate_host_state(pages)
-    eng = CrawlEngine(spark, pages, root, _cfg(pipeline_writes=True))
+    cfg = _cfg(pipeline_writes=True, max_rounds=SUB_ROUNDS)
+    eng = CrawlEngine(spark, pages, root, cfg)
     snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
     final = eng.run(snap)  # run() flushes pending writes
-    assert {r["url"] for r in eng.seen_urls(final).collect()} == oracle_result.seen
-    assert eng.crawl_trace(final) == oracle_result.trace
-    eng2 = CrawlEngine(spark, pages, root, _cfg(pipeline_writes=True))
+    assert {r["url"] for r in eng.seen_urls(final).collect()} == ores.seen
+    assert eng.crawl_trace(final) == ores.trace
+    eng2 = CrawlEngine(spark, pages, root, cfg)
     assert eng2.resume().round == final.round
 
 
-def test_synthetic_fetch_stratified_parity(spark, tmp_path_factory, oracle_result):
+def test_synthetic_fetch_stratified_parity(spark, tmp_path_factory, corpus):
     root = str(tmp_path_factory.mktemp("strat_synth"))
-    cfg = _cfg(fetch_mode="synthetic", n_pages=N)
+    ores = oracle.crawl(
+        corpus, datagen.seed_urls(N_SEEDS, N, seed=SEED), max_rounds=SUB_ROUNDS, gen_seed=SEED
+    )
+    cfg = _cfg(fetch_mode="synthetic", n_pages=N, max_rounds=SUB_ROUNDS)
     hs = datagen.generate_host_state_synthetic(spark, datagen.default_n_hosts(N))
     eng = CrawlEngine(spark, None, root, cfg)
     snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
     final = eng.run(snap)
-    assert {r["url"] for r in eng.seen_urls(final).collect()} == oracle_result.seen
-    assert eng.crawl_trace(final) == oracle_result.trace
+    assert {r["url"] for r in eng.seen_urls(final).collect()} == ores.seen
+    assert eng.crawl_trace(final) == ores.trace
 
 
 def test_seed_budget_stratified_parity(spark, tmp_path_factory, corpus):
@@ -281,7 +316,7 @@ def test_seed_budget_stratified_parity(spark, tmp_path_factory, corpus):
     budget = 6
     ores = oracle.crawl(
         corpus, datagen.seed_urls(N_SEEDS, N, seed=SEED),
-        max_rounds=MAX_ROUNDS, seed_budget=budget,
+        max_rounds=SUB_ROUNDS, seed_budget=budget, gen_seed=SEED,
     )
     exceeded = set()
     for kinds in ores.facts.values():
@@ -289,7 +324,9 @@ def test_seed_budget_stratified_parity(spark, tmp_path_factory, corpus):
     assert exceeded, "tight budget must demote some frontier rows"
     pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
     hs = datagen.generate_host_state(pages)
-    eng = CrawlEngine(spark, pages, root, _cfg(seed_budget=budget))
+    eng = CrawlEngine(
+        spark, pages, root, _cfg(seed_budget=budget, max_rounds=SUB_ROUNDS)
+    )
     snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
     final = eng.run(snap)
     assert {r["url"] for r in eng.seen_urls(final).collect()} == ores.seen

@@ -19,7 +19,8 @@ SPARK_SUBMIT = os.path.join(os.path.dirname(sys.executable), "spark-submit")
 
 N = 240
 N_SEEDS = 5
-MAX_ROUNDS = 8
+MAX_ROUNDS = 4  # deployment-shape test: zip-only imports are proven by
+# round 1; 4 single-wave rounds keep the subprocess short (VERDICT r3 #5)
 
 
 @pytest.mark.skipif(
