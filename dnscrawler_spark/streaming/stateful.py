@@ -38,6 +38,18 @@ STATE_SCHEMA = T.StructType(
 
 
 def _update(key, pdf_iter, state: GroupState):
+    # pyspark's ApplyInPandasWithStateSerializer pads the output batch
+    # with an all-NA empty frame and pd.concat's it (serializers.py:1696)
+    # — a pandas FutureWarning the user frame cannot pre-type away
+    # because the concat happens inside pyspark. Filter exactly that
+    # message in this worker process (VERDICT r3 #7).
+    import warnings
+
+    warnings.filterwarnings(
+        "ignore",
+        message="The behavior of DataFrame concatenation with empty or all-NA",
+        category=FutureWarning,
+    )
     # emit RAW running sums — rounding happens exactly once, in the final
     # aggregation (ADVICE r1: per-emission rounding made the max-struct
     # pick compare rounded intermediates against the batch oracle's
