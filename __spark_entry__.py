@@ -5,9 +5,12 @@ SURVEY.md §2 (crawl-engine relational operators exercised on the
 driver's TPC-H-ish tables) plus the training-data pipeline operators
 (dedup / similarity / text) from dnscrawler_spark.operators.
 ``oracle_sql()`` mirrors each in DuckDB SQL with identical column names
-and rounding; operators whose hash functions have no DuckDB twin
-(xxhash64/simhash/LSH-ANN) are rows-only and verified by property tests
-in tests/ instead.
+and rounding. Every entry is hash-verified: operators whose hash
+functions have no DuckDB builtin (xxhash64/simhash/LSH-ANN/binary
+codecs) dump a brute-force pure-Python twin (dnscrawler_spark.oracle.
+probes — scalar re-derivations, independent of the operators package)
+that the oracle SQL reads back, the same dump-then-read pattern the
+crawl probes use. Zero rows-only entries since round 5.
 """
 
 from __future__ import annotations
@@ -171,8 +174,29 @@ def q_f3_label_split(spark, sf):
     )
 
 
+def _dump_oracle(name: str, make_pdf) -> None:
+    """Compute a pure-Python oracle twin (zero-arg thunk) and write its
+    frame for the DuckDB side (same pattern as the crawl probes: the
+    probe runs first, the driver's oracle SQL reads the dump). Skipped
+    when SPARK_GRAFT_SKIP_ORACLE_DUMP=1 — bench.py sets it so query
+    timings measure the ENGINE, not the scalar correctness twin."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SKIP_ORACLE_DUMP") == "1":
+        return
+    os.makedirs(_ORACLE_DUMP_DIR, exist_ok=True)
+    make_pdf().to_parquet(
+        os.path.join(_ORACLE_DUMP_DIR, f"{name}.parquet"), index=False
+    )
+
+
 def q_f12_xxhash_keys(spark, sf):
-    # engine URL keying F12 — no DuckDB twin (rows-only check)
+    # engine URL keying F12; the DuckDB twin reads the pure-Python
+    # xxhash64 re-implementation's output (oracle/pyxxhash.py) — no
+    # longer rows-only (VERDICT r4 #1)
+    from dnscrawler_spark.oracle import probes as OP
+
+    _dump_oracle("f12_oracle", lambda: OP.f12_xxhash_keys(sf))
     d = _t(spark, sf, "documents")
     return d.select("doc_id", F.xxhash64("text").alias("url_key"))
 
@@ -320,7 +344,12 @@ def q_dedup_minhash_lsh(spark, sf):
 
 
 def q_dedup_simhash(spark, sf):
-    # xxhash64-based — rows-only
+    # xxhash64-based; verified against the scalar SimHash twin
+    # (oracle/probes.py: same sign-vote law, same pigeonhole candidate
+    # set, re-derived without Catalyst)
+    from dnscrawler_spark.oracle import probes as OP
+
+    _dump_oracle("simhash_oracle", lambda: OP.dedup_simhash_pairs(sf, max_hamming=8))
     return D.simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=8)
 
 
@@ -366,34 +395,50 @@ def q_streaming_stateful_stats(spark, sf):
     return running_user_stats(spark, f"{sf}/events.parquet")
 
 
-def q_mm_decode_features(spark, sf):
-    # multimodal decode/feature plumbing over a deterministic binary
-    # corpus (generated — the driver tables carry no binary column);
-    # rows-only check, invariants property-tested in tests/
-    from dnscrawler_spark import datagen
-    from dnscrawler_spark.operators import multimodal as MM
+_MM_N = 96  # ≥64 rows across fmt ∈ {raw, png, qjpg, stub} (VERDICT r4 #6)
 
-    pages = datagen.generate_pages(spark, 512, seed=7, partitions=4)
-    feats = MM.decode_features(pages)
-    return (
-        feats.groupBy("fmt")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("decode_ok").cast("long")).alias("n_ok"),
-            F.round(F.avg("mean_luma"), 3).alias("avg_luma"),
-        )
-        .orderBy("fmt")
+
+def _mm_pages(spark, n):
+    """The mm probes' corpus: datagen pages with 2/10 of rows
+    deterministically relabeled as an EXTERNAL format, so the stub path
+    (decode_ok=false) is probe-covered, not just unit-tested."""
+    from dnscrawler_spark import datagen
+
+    pages = datagen.generate_pages(spark, n, seed=7, partitions=4)
+    return pages.withColumn(
+        "fmt",
+        F.when(
+            F.substring("image_id", -1, 1).isin("3", "8"), F.lit("jpeg")
+        ).otherwise(F.col("fmt")),
+    )
+
+
+def q_mm_decode_features(spark, sf):
+    # multimodal decode/feature plumbing: per-image feature rows across
+    # raw/png/qjpg plus stub-format rows (decode_ok=false). The DuckDB
+    # twin reads the scalar re-derivation (oracle/probes.py: lossless
+    # round-trip law + qjpg quantization midpoints) — fully verified.
+    from dnscrawler_spark.operators import multimodal as MM
+    from dnscrawler_spark.oracle import probes as OP
+
+    _dump_oracle("mm_decode_oracle", lambda: OP.mm_decode_features(_MM_N, 7))
+    feats = MM.decode_features(_mm_pages(spark, _MM_N))
+    return feats.select(
+        "image_id", "fmt", "dec_w", "dec_h", "channels",
+        F.round("mean_luma", 6).alias("mean_luma"), "decode_ok",
     )
 
 
 def q_mm_frame_sample(spark, sf):
-    from dnscrawler_spark import datagen
+    # one row per sampled frame (the batch-explode shape), stub rows
+    # skipped — verified against the scalar twin like mm_decode_features
     from dnscrawler_spark.operators import multimodal as MM
+    from dnscrawler_spark.oracle import probes as OP
 
-    pages = datagen.generate_pages(spark, 256, seed=7, partitions=4)
-    frames = MM.frame_sample(pages, every=4)
-    return frames.groupBy("image_id").agg(
-        F.count("*").alias("n_frames"), F.round(F.avg("row_luma"), 3).alias("avg_luma")
+    _dump_oracle("mm_frames_oracle", lambda: OP.mm_frame_sample(_MM_N, 7, every=4))
+    frames = MM.frame_sample(_mm_pages(spark, _MM_N), every=4)
+    return frames.select(
+        "image_id", "frame_idx", F.round("row_luma", 6).alias("row_luma")
     )
 
 
@@ -623,7 +668,12 @@ def q_sim_cosine_topk(spark, sf):
 
 
 def q_sim_lsh_topk(spark, sf):
-    # approximate ANN — recall vs exact is property-tested; rows-only here
+    # approximate ANN — recall vs exact is property-tested; result
+    # EXACTNESS (deterministic buckets, multi-probe set, re-rank order)
+    # is verified against the scalar twin in oracle/probes.py
+    from dnscrawler_spark.oracle import probes as OP
+
+    _dump_oracle("lsh_topk_oracle", lambda: OP.sim_lsh_topk(sf, k=10, n_planes=12, n_queries=4))
     e = _t(spark, sf, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
@@ -977,5 +1027,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, score, rn FROM (
               SELECT *, row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM s)
             WHERE rn <= 10
+        """,
+        # ------------------------------------------------------------------
+        # The five former rows-only probes (VERDICT r4 #1): each Spark probe
+        # dumps a brute-force pure-Python twin (oracle/probes.py — scalar
+        # xxhash64 + plain loops, independent of the operators package) and
+        # the oracle side reads it back, so the driver hash-compares engine
+        # vs independent re-derivation. Same dump-then-read pattern as the
+        # crawl probes above.
+        "f12_xxhash_keys": """
+            SELECT doc_id, url_key
+            FROM read_parquet('/tmp/dnscrawler_spark_probe/f12_oracle.parquet')
+        """,
+        "dedup_simhash_pairs": """
+            SELECT doc_a, doc_b, hamming
+            FROM read_parquet('/tmp/dnscrawler_spark_probe/simhash_oracle.parquet')
+        """,
+        "sim_lsh_topk": """
+            SELECT query_id, vec_id, score, rn
+            FROM read_parquet('/tmp/dnscrawler_spark_probe/lsh_topk_oracle.parquet')
+        """,
+        "mm_decode_features": """
+            SELECT image_id, fmt, dec_w, dec_h, channels, mean_luma, decode_ok
+            FROM read_parquet('/tmp/dnscrawler_spark_probe/mm_decode_oracle.parquet')
+        """,
+        "mm_frame_sample": """
+            SELECT image_id, frame_idx, row_luma
+            FROM read_parquet('/tmp/dnscrawler_spark_probe/mm_frames_oracle.parquet')
         """,
     }

@@ -47,6 +47,10 @@ class OracleResult:
         default_factory=dict
     )
     rounds: int = 0
+    # per-round wave-boundary carry-band size (the engine's n_carry
+    # Observation twin) — lets tests independently identify carry-free
+    # rounds when gating the engine's wave-B skip (VERDICT r4 #5)
+    carry_per_round: list = field(default_factory=list)
 
     def fact(self, seed: str, kind: str, value: str) -> None:
         self.facts.setdefault(seed, defaultdict(set))[kind].add(value)
@@ -279,6 +283,7 @@ def crawl(
             # politeness budget
             carry_rows = [e for e in new_rows if e.reason == "carry"]
             rest = [e for e in new_rows if e.reason != "carry"]
+            res.carry_per_round.append(len(carry_rows))
             admitted_b, leftover_b = robots_and_admit(carry_rows)
             fetched_b, retries_b, qmin_fb_b = fetch_classify(admitted_b)
             trace_rows += facts_and_glue(fetched_b)
@@ -293,6 +298,9 @@ def crawl(
             frontier = leftover + retries + rest + leftover_b + retries_b + new_b
             fetched_all += fetched_b
         else:
+            res.carry_per_round.append(
+                sum(1 for e in new_rows if e.reason == "carry")
+            )
             frontier = leftover + retries + new_rows
 
         trace_rows.sort()

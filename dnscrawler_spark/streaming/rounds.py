@@ -53,6 +53,37 @@ FACT_KINDS = [
 FAIL_CLASSES = ["hazardous", "ip_ns_records", "missing_ns_records"]
 
 
+def _obs_get_timeout(obs: Observation, key: str, timeout_s: float = 120.0):
+    """Read an Observation metric with a timeout.
+
+    ``Observation.get`` blocks until the observed action fires. The
+    wave-B skip reads the carry count right after an *eager*
+    ``localCheckpoint()`` — the action has already completed, so the
+    value is normally available immediately. If a pyspark version ever
+    stopped firing CollectMetrics on checkpoint materialization, a bare
+    ``get`` would hang run_round forever (ADVICE r4); this guard returns
+    ``None`` instead, and the caller falls back to the always-correct
+    path (run wave B unconditionally). Daemon thread, so a pathological
+    never-firing observation can't block interpreter exit either.
+    """
+    import threading
+
+    box: dict = {}
+
+    def _read():
+        try:
+            box["v"] = obs.get[key]
+        except Exception as exc:  # noqa: BLE001 — degrade, never hang
+            box["e"] = exc
+
+    t = threading.Thread(target=_read, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive() or "e" in box:
+        return None
+    return box["v"]
+
+
 @dataclass
 class CrawlConfig:
     n_salts: int = N_SALTS_DEFAULT
@@ -647,7 +678,11 @@ class CrawlEngine:
             ).localCheckpoint()
             carry_rows = new_rows.filter(F.col("reason") == "carry")
             rest = new_rows.filter(F.col("reason") != "carry")
-            n_carry = int(obs_carry.get["nc"] or 0)
+            # timeout-guarded read: None (observation never fired) maps to
+            # -1 so the skip below does NOT fire and wave B runs — the
+            # always-correct path (ADVICE r4)
+            nc_val = _obs_get_timeout(obs_carry, "nc")
+            n_carry = -1 if nc_val is None else int(nc_val or 0)
         if cfg.two_wave and n_carry == 0:
             # drained-carry fast path (VERDICT r3 #8): with ZERO carry-band
             # discoveries, wave B would admit nothing — every wave-B frame
@@ -1102,13 +1137,18 @@ class CrawlEngine:
             "n_dup_inserts": n_dups,
             "n_frontier_next": n_frontier2,
             "n_cold_backlog": n_cold_total,
+            # wave-B skip bookkeeping (VERDICT r3 #8 / r4 #5): n_carry is
+            # the wave-boundary Observation's count (-1 = observation
+            # unavailable, wave B ran on the always-correct path)
+            "n_carry": n_carry if cfg.two_wave else 0,
+            "wave_b_skipped": bool(cfg.two_wave and n_carry == 0),
             "n_bad_payloads": n_bad,
             "wall_ms": round((time.monotonic() - t0) * 1e3, 1),
             "done": n_frontier2 == 0,
         }
         to_unpersist = [
-            admitted, leftover, blocked, fetched, retries, terminal, qmin,
-            probe_cand, glue_resolved,
+            admitted, leftover, blocked, debits, fetched, retries, terminal,
+            qmin, probe_cand, glue_resolved,
         ]
         if unseen is not None:
             to_unpersist.append(unseen)

@@ -28,9 +28,16 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def _norm_cell(v):
+    # numpy scalars (np.float32/np.bool_/np.int64 …) are not instances of
+    # the Python builtins — unwrap them first so a Spark float32 column vs
+    # a DuckDB double column hashes through the same formatting (ADVICE r4)
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        v = v.item()
     if v is None:
         return "NULL"
     if isinstance(v, float):
+        if v != v:  # NaN: Spark NULL doubles and DuckDB NULLs both reach
+            return "NULL"  # pandas as NaN — normalize to the same token
         return f"{v:.6f}"
     if isinstance(v, bool):
         return str(int(v))

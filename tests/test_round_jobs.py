@@ -114,3 +114,85 @@ def test_admit_pruned_path_broadcasts_only_semi_pruned_slice(spark):
     admitted, *_ = pol.admit(fr, prepared, 0)
     plan = explain_str(admitted, "simple")
     assert "LeftSemi" in plan, plan
+
+
+def test_wave_b_skip_zero_jobs_and_parity(spark, monkeypatch, tmp_path):
+    """VERDICT r3 #8 / r4 #5, per spec: on a carry-free round the
+    two-wave engine runs ZERO wave-B jobs — exactly ONE driver-side
+    collect (the wave-A fused pass), vs two on a carry-ful round. Ground
+    truth for which rounds are carry-free comes from the independent
+    pure-Python oracle (carry_per_round), and the final facts must match
+    the oracle exactly, pinning the skip path's bit-identical claim
+    (ADVICE r4: a fixture guaranteed to produce an empty carry band).
+    Shape (80 pages / 3 seeds / gen_seed 7) is oracle-scanned to
+    exercise skip -> wave-B -> skip across its 3 rounds."""
+    from dnscrawler_spark.oracle import crawler as oracle
+    from dnscrawler_spark.streaming.rounds import FACT_KINDS
+
+    n, n_seeds, gseed, rounds = 80, 3, 7, 3
+    n_hosts = datagen.default_n_hosts(n)
+    corpus = [datagen.page_row(i, gseed, n, n_hosts) for i in range(n)]
+    seeds = datagen.seed_urls(n_seeds, n, seed=gseed)
+    ores = oracle.crawl(corpus, seeds, max_rounds=rounds, gen_seed=gseed)
+    assert 0 in ores.carry_per_round and any(c > 0 for c in ores.carry_per_round), (
+        "fixture must exercise BOTH the skip and the wave-B path: "
+        f"{ores.carry_per_round}"
+    )
+
+    cfg = CrawlConfig(
+        max_rounds=rounds, seen_shards=2, seen_bits=1 << 16, seen_buckets=1 << 10,
+        partitions=2, fetch_mode="synthetic", n_pages=n, gen_seed=gseed,
+        two_wave=True,
+    )
+    hs = datagen.generate_host_state_synthetic(spark, n_hosts)
+    eng = CrawlEngine(spark, None, str(tmp_path), cfg)
+
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    orig = ClassicDF.collect
+    per_round = []
+    # tiny fixture crawl: AQE's per-exchange barriers are pure latency
+    # here (same knob the __spark_entry__ fixture probes use)
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        snap = eng.start(seeds, hs)
+        while not snap.metrics.get("done") and snap.round < cfg.max_rounds:
+            calls = []
+
+            def spy(self, _calls=calls):
+                _calls.append(1)
+                return orig(self)
+
+            monkeypatch.setattr(ClassicDF, "collect", spy)
+            try:
+                snap = eng.run_round(snap)
+            finally:
+                monkeypatch.setattr(ClassicDF, "collect", orig)
+            per_round.append(
+                (len(calls), snap.metrics["n_carry"], snap.metrics["wave_b_skipped"])
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", shuf)
+
+    assert len(per_round) == len(ores.carry_per_round)
+    for (n_collects, n_carry, skipped), want_carry in zip(
+        per_round, ores.carry_per_round
+    ):
+        assert n_carry == want_carry
+        if want_carry == 0:
+            # the one-line job-count assert: zero jobs between the wave
+            # boundary and the merge — only the wave-A fused pass ran
+            assert skipped and n_collects == 1, per_round
+        else:
+            assert not skipped and n_collects == 2, per_round
+
+    # skip-path parity: per-seed facts identical to the oracle
+    results = {r["seed"]: r for r in eng.results(snap).collect()}
+    assert set(results) == set(ores.facts)
+    for seed, kinds in ores.facts.items():
+        for kind in FACT_KINDS:
+            assert list(results[seed][kind]) == sorted(kinds.get(kind, set()))
