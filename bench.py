@@ -106,7 +106,7 @@ def _spark():
     )
 
 
-def run_crawl(spark) -> dict:
+def run_crawl(spark, two_wave: bool | None = None, warmup: bool | None = None) -> dict:
     """The headline job: fetch+dedupe a synthetic frontier to exhaustion.
 
     Throughput denominator is end-to-end wall time including snapshot
@@ -116,6 +116,10 @@ def run_crawl(spark) -> dict:
     classified). ``urls_seen`` is MEASURED from the final seen-state key
     files (parquet footer row counts, SeenFilter.exact_key_count) and
     cross-checked against that derived sum — the two must agree exactly.
+
+    ``two_wave``: override the env default for this leg (the two-wave
+    headline row, VERDICT r4 #4). ``warmup``: force/skip the JIT warmup
+    round (the second leg in one session skips it — the JVM is warm).
     """
     from dnscrawler_spark import datagen
     from dnscrawler_spark.streaming.rounds import CrawlConfig, CrawlEngine
@@ -139,6 +143,7 @@ def run_crawl(spark) -> dict:
         "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "8")
     )
     try:
+        tw = TWO_WAVE if two_wave is None else two_wave
         n = _cpus()
         # SPARK_GRAFT_BENCH_HOSTS: shrink the host universe to make
         # politeness BIND (backlog >> per-round admissions) — the regime
@@ -163,13 +168,18 @@ def run_crawl(spark) -> dict:
             n_hosts=n_hosts,
             pipeline_writes=True,  # fetched/facts writes overlap next round
             stratified=STRATIFIED,
-            two_wave=TWO_WAVE,
+            two_wave=tw,
         )
         eng = CrawlEngine(spark, None, root, cfg)
         # seed set built distributed — never transits the driver
         seeds = datagen.seed_urls_df(spark, N_SEEDS, N_PAGES, seed=GEN_SEED, n_hosts=n_hosts)
 
-        if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "1":
+        do_warm = (
+            os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "1"
+            if warmup is None
+            else warmup
+        )
+        if do_warm:
             # JIT/codegen/Arrow-worker warmup: one tiny round through the
             # IDENTICAL plan shapes in a throwaway root, so the measured
             # window is steady-state at every parallelism level. Without
@@ -186,7 +196,7 @@ def run_crawl(spark) -> dict:
                 collect_lineage=False, verify_payloads=True,
                 fetch_mode="synthetic", px_scale=PX_SCALE,
                 n_pages=N_PAGES, n_hosts=n_hosts, pipeline_writes=True,
-                stratified=STRATIFIED, two_wave=TWO_WAVE,
+                stratified=STRATIFIED, two_wave=tw,
             )
             weng = CrawlEngine(spark, None, wroot, wcfg)
             wseeds = datagen.seed_urls_df(spark, 500, N_PAGES, seed=GEN_SEED + 1, n_hosts=n_hosts)
@@ -240,6 +250,8 @@ def run_crawl(spark) -> dict:
             "urls_per_sec": round(urls / wall, 1),
             "cpus": _cpus(),
             "stratified": STRATIFIED,
+            "two_wave": tw,
+            "done": bool(snap.metrics.get("done")),
         }
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
@@ -281,19 +293,41 @@ def main() -> None:
         if args.crawl_only:
             print(json.dumps(crawl))
             return
+        # the ENGINE DEFAULT shape (two_wave=True, dnsresolver_new.py:210)
+        # gets its own headline row (VERDICT r4 #4): same input, same
+        # session (JIT warm — no second warmup leg), identical-output
+        # assertion against the single-wave leg (two-wave only reorders
+        # WHEN a url is fetched within the horizon; a drained crawl sees
+        # the same url set — parity: test_two_wave_parity)
+        crawl_tw = run_crawl(spark, two_wave=True, warmup=False)
+        if crawl["done"] and crawl_tw["done"]:
+            # both drained: two-wave only moves WHEN a url is fetched, so
+            # the final url-seen set must be identical (test_two_wave_parity)
+            if crawl_tw["urls_seen"] != crawl["urls_seen"]:
+                raise AssertionError(
+                    f"two-wave leg diverged: urls_seen {crawl_tw['urls_seen']} "
+                    f"!= single-wave {crawl['urls_seen']}"
+                )
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
         queries = run_queries(spark, sf_dir)
-        total = round(sum(queries.values()) + crawl["wall_sec"], 3)
+        total = round(
+            sum(queries.values()) + crawl["wall_sec"] + crawl_tw["wall_sec"], 3
+        )
         print(
             json.dumps(
                 {
                     "metric": "frontier throughput (URLs fetched+deduped/sec) + operator suite wall time",
                     "value": total,
                     "unit": "sec",
-                    "queries": {"crawl_frontier": crawl["wall_sec"], **queries},
+                    "queries": {
+                        "crawl_frontier": crawl["wall_sec"],
+                        "crawl_frontier_two_wave": crawl_tw["wall_sec"],
+                        **queries,
+                    },
                     "sf": sf,
                     "crawl": crawl,
+                    "crawl_two_wave": crawl_tw,
                 }
             )
         )

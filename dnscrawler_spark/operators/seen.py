@@ -919,16 +919,33 @@ class SeenFilter:
         # (4 shuffle joins per wave in stratified mode), and every
         # downstream consumer of every part re-ran its own join — at
         # fixture scale the facts write alone paid ~40 stages for it
-        # (measured 15-16 s/round, VERDICT r3 #1/#3). Joining once with
-        # the verdict FLAGS attached and persisting lets each part be a
-        # cache filter instead.
+        # (measured 15-16 s/round, VERDICT r3 #1/#3).
+        #
+        # localCheckpoint (eager), not persist: every downstream job
+        # (frontier write, facts write, next-wave unions) re-plans from
+        # the parts, and a persisted join leaves the FULL wave lineage in
+        # each of those plans — measured r5: the pipelined facts write
+        # re-ran the wave-B fused pass (applyInPandas + fetch, ~112
+        # stages) on every execution, 8-11 s/round of pure recompute and
+        # the source of the probe walls' 1.8x run-to-run variance (racing
+        # recomputes fork-storm the Python workers). The checkpoint
+        # truncates lineage to a leaf: parts become in-memory filters,
+        # the facts plan drops to ~10 stages. Fault story at cluster
+        # scale: checkpoint blocks skip lineage recovery, but the engine
+        # recovers at ROUND granularity from the snapshot store (resume
+        # is parity-tested), so task-level lineage replay of a wave is
+        # not the recovery path anyway. Both caches it read (merged,
+        # probe_df) are hot here — the checkpoint job is a cache join.
         verdict_cols = ["glue_hit", "resolved", "inflight", "blocked"]
         attached = probe_df.join(
             fresh.select(F.col("url_key").alias(key_col), *verdict_cols),
             key_col,
             "inner",
-        ).persist()
-        self._persisted.append(attached)
+        ).localCheckpoint()
+        # merged's last consumer was the checkpoint job above — release
+        # the fused-pass cache now instead of at round flush
+        merged.unpersist()
+        self._persisted.remove(merged)
 
         def part(pred):
             return attached.filter(pred).drop("resolved", "inflight", "blocked")

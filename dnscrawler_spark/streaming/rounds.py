@@ -538,10 +538,23 @@ class CrawlEngine:
                 # repartition is exempt from AQE coalescing, guaranteeing
                 # one fetch slice per task slot.
                 fan_out = adm.repartition(cfg.partitions * 2)
+                # localCheckpoint (eager), not persist: the fetch is the
+                # round's expensive Python stage and EVERY downstream job
+                # re-plans through it (seen_keys unions, expansion, facts,
+                # fetched write, glue write). Persisted, the four seen_keys
+                # branches raced to materialize it concurrently inside the
+                # fused pass (measured: the fetch UDF ran 3-4x in round 0's
+                # fused-pass job) and the pipelined writes re-ran it when
+                # cache substitution failed on the deep facts plan. The
+                # eager checkpoint runs the fetch exactly once, right here,
+                # and hands every consumer a leaf. Recovery at cluster
+                # scale is round-granular via the snapshot store (resume),
+                # not task-lineage replay — same tradeoff as the wave
+                # boundary checkpoint below.
                 enr = X.fetch_synthetic(
                     fan_out, cfg.gen_seed, cfg.n_pages, cfg.n_hosts, cfg.px_scale,
                     verify=cfg.verify_payloads,
-                ).persist()
+                ).localCheckpoint()
                 f = enr.filter(F.col("is_hit")).drop(
                     "is_hit", "qmin_fallback", "fail_code"
                 )
@@ -696,13 +709,30 @@ class CrawlEngine:
             tick("wave-B skipped (carry band empty)")
         elif cfg.two_wave:
             # wave-B policy: carry targets can be hosts outside this
-            # round's active set, so the prepared view is the full
-            # dimension (shuffle-hash — still no host broadcast) with
-            # wave-A debits overriding the token balances (no refill
-            # between waves)
-            prepared_b = pol.apply_debits(
-                pol.prepare_policy(host_state, tokens, r), debits
-            ).hint("shuffle_hash")
+            # round's active set, so the prepared view starts from the
+            # full dimension with wave-A debits overriding the token
+            # balances (no refill between waves). The carry band is
+            # materialized (it filters the wave-boundary checkpoint) and
+            # its size is KNOWN (n_carry rode the checkpoint's
+            # Observation): when it is horizon-sized, semi-join-prune the
+            # policy to the carry hosts and broadcast the pruned slice —
+            # one host-dimension scan, no shuffle of the dimension, same
+            # admissions (absent hosts take the same default-budget path
+            # either way). Past the threshold, shuffle-hash as before —
+            # the host dimension itself is never broadcast whole
+            # (VERDICT r2 #1).
+            if 0 < n_carry <= cfg.policy_broadcast_max:
+                carry_hosts = carry_rows.select("host").distinct()
+                pruned_pol = host_state.join(
+                    F.broadcast(carry_hosts), "host", "left_semi"
+                )
+                prepared_b = F.broadcast(
+                    pol.apply_debits(pol.prepare_policy(pruned_pol, tokens, r), debits)
+                )
+            else:
+                prepared_b = pol.apply_debits(
+                    pol.prepare_policy(host_state, tokens, r), debits
+                ).hint("shuffle_hash")
             admitted_b, leftover_b, blocked_b, debits_b = pol.admit(
                 repartition_by_host(carry_rows), prepared_b, r
             )
@@ -856,6 +886,13 @@ class CrawlEngine:
         # place, costing nothing at cluster scale where cfg.partitions
         # is the cluster width
         facts = facts.coalesce(cfg.partitions)
+        if os.environ.get("SPARK_GRAFT_EXPLAIN_FACTS") == "1":
+            plan = facts._jdf.queryExecution().executedPlan().toString()
+            n_scan = plan.count("InMemoryTableScan")
+            print(f"  [r{r}] facts plan: {len(plan.splitlines())} lines, "
+                  f"{n_scan} InMemoryTableScan", flush=True)
+            if os.environ.get("SPARK_GRAFT_EXPLAIN_FACTS_FULL") == "1":
+                print(plan, flush=True)
 
         # ---- parallel snapshot writes ---------------------------------------
         nxt = Snapshot(
@@ -1014,6 +1051,7 @@ class CrawlEngine:
                     nxt.tables[name] = fut.result()
         tick("all writes joined")
         nxt.seen = seen_final.to_manifest()
+        tick("seen manifest")
         # static policy referenced (copy-on-write); this round's token
         # delta joins the merge-on-read list
         nxt.tables["host_state"] = snap.tables["host_state"]
@@ -1023,7 +1061,9 @@ class CrawlEngine:
             "glue": glue_final_f.to_manifest(),
         }
 
+        tick("glue manifest")
         branch_n = {name: int(o.get["n"]) for name, o in branch_obs.items()}
+        tick("branch obs")
         n_left = branch_n["left"] + branch_n.get("left_b", 0)
         n_retry = branch_n["retry"] + branch_n.get("retry_b", 0)
         n_new = branch_n.get("new", 0) + branch_n.get("rest", 0) + branch_n.get("new_b", 0)
@@ -1185,6 +1225,7 @@ class CrawlEngine:
             # commit the PREVIOUS round (its background writes have had a
             # whole round to finish), then park this one — ordering keeps
             # manifests monotonic; durability lags exactly one round
+            tick("metrics built")
             self.flush()
             self._pending = (pending_futs, nxt, to_unpersist, seen_final)
             tick("metrics+pipeline park")

@@ -23,6 +23,22 @@ SUB_ROUNDS = 4  # config-variant crawls (resume/budget/pipelined): every
 # motif they assert still fires by round 4 (oracle-scanned)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _crawl_conf(spark):
+    """Fixture crawls run under the engine's own crawl-time session conf
+    (bench.py / the __spark_entry__ probes set exactly this): AQE off —
+    its per-exchange materialization barriers are pure latency on a
+    240-page crawl's known shapes — and a narrow fixed shuffle width.
+    Layout-only; every assertion in this module is value parity."""
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    yield
+    spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    spark.conf.set("spark.sql.shuffle.partitions", shuf)
+
+
 @pytest.fixture(scope="module")
 def corpus():
     n_hosts = datagen.default_n_hosts(N)

@@ -42,6 +42,20 @@ def _cfg(**kw):
     return CrawlConfig(**base)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _crawl_conf(spark):
+    """Crawl-time session conf (same as bench.py / the probes): AQE off
+    + narrow fixed shuffle — layout-only, all assertions are value
+    parity (see test_crawl_parity._crawl_conf)."""
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    yield
+    spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    spark.conf.set("spark.sql.shuffle.partitions", shuf)
+
+
 @pytest.fixture(scope="module")
 def corpus():
     n_hosts = datagen.default_n_hosts(N)
