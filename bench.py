@@ -281,10 +281,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--crawl-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument(
+        "--scaling-two-wave",
+        action="store_true",
+        help="one pinned 2->8 pair at the engine-default two-wave shape",
+    )
     args = ap.parse_args()
 
     if args.scaling:
         run_scaling()
+        return
+    if args.scaling_two_wave:
+        run_scaling(levels=(2, 8), two_wave=True)
         return
 
     spark = _spark()
@@ -335,18 +343,24 @@ def main() -> None:
         spark.stop()
 
 
-def run_scaling() -> None:
+def run_scaling(levels: tuple[int, ...] = (2, 8, 32), two_wave: bool = False) -> None:
     """north_rule evidence: the same crawl job, same input, at N and 4N
     cores. Each level runs in a fresh subprocess PINNED to exactly that
     many CPUs (taskset) — on a shared 32-core host, an unpinned
     local[N] JVM spills GC/shuffle/Python-worker work onto the other
     cores, which silently flatters the small configuration.
 
-    Reports two N→4N pairs: 2→8 and 8→32. (The host VM serializes
-    memory-heavy work beyond ~10 concurrent processes — see BENCH.md's
-    Spark-free host-ceiling control — so the 2→8 pair is the one that
-    isolates ENGINE scaling from host contention, exactly what adding
-    real cluster nodes provides at every size.)
+    Reports N→4N pairs over ``levels`` (default 2→8 and 8→32). The host
+    VM serializes memory-heavy work beyond ~10 concurrent processes —
+    see BENCH.md's Spark-free host-ceiling control — so the 2→8 pair is
+    the one that isolates ENGINE scaling from host contention, exactly
+    what adding real cluster nodes provides at every size.
+
+    ``two_wave=True`` runs the pair at the ENGINE DEFAULT shape
+    (two zone-cut waves per round, dnsresolver_new.py:210) — the
+    VERDICT r4 #4 leg. Outputs must be identical across levels exactly
+    as in the single-wave protocol (the --crawl-only leg asserts its
+    own urls_seen cross-check; the caller compares across levels).
     """
     scale_env = {
         "SPARK_GRAFT_BENCH_PAGES": os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"),
@@ -360,8 +374,10 @@ def run_scaling() -> None:
         # perfect parallel code at ~0.92 between 2 and 8 pinned cores)
         "SPARK_GRAFT_BENCH_PX": os.environ.get("SPARK_GRAFT_BENCH_PX", "14"),
     }
+    if two_wave:
+        scale_env["SPARK_GRAFT_BENCH_TWO_WAVE"] = "1"
     results = {}
-    for n in (2, 8, 32):
+    for n in levels:
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(n), **scale_env)
         proc = subprocess.run(
             ["taskset", "-c", f"0-{n - 1}", sys.executable,
@@ -373,6 +389,10 @@ def run_scaling() -> None:
         )
         results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
 
+    seen_sets = {n: results[n]["urls_seen"] for n in levels}
+    if len(set(seen_sets.values())) != 1:
+        raise AssertionError(f"output diverged across levels: {seen_sets}")
+
     def pair(lo, hi):
         r = results[hi]["urls_per_sec"] / results[lo]["urls_per_sec"]
         return {
@@ -381,13 +401,11 @@ def run_scaling() -> None:
             "pass_0.8": r / 4.0 >= 0.8,
         }
 
-    out = {
-        "local2_pinned": results[2],
-        "local8_pinned": results[8],
-        "local32_pinned": results[32],
-        "pair_2_to_8": pair(2, 8),
-        "pair_8_to_32": pair(8, 32),
-    }
+    out = {"two_wave": two_wave}
+    for n in levels:
+        out[f"local{n}_pinned"] = results[n]
+    for lo, hi in zip(levels, levels[1:]):
+        out[f"pair_{lo}_to_{hi}"] = pair(lo, hi)
     print(json.dumps(out, indent=2))
 
 

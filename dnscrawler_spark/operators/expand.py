@@ -72,15 +72,16 @@ PAGE_COLS = [
 ]
 
 
-def fetch(admitted: DataFrame, pages_keyed: DataFrame) -> tuple[DataFrame, DataFrame]:
+def fetch(admitted: DataFrame, pages_keyed: DataFrame) -> DataFrame:
     """The fetch stage: deterministic 'network' via equi-join on url_key
-    (SURVEY §2.1 S2). Returns (fetched, misses)."""
-    joined = admitted.join(
+    (SURVEY §2.1 S2). Returns ONE enriched frame (admitted cols + page
+    cols + ``is_hit``) so the caller can materialize the join exactly
+    once and split hit/miss from that boundary — the same contract as
+    ``fetch_synthetic``: two lazy branches of the join would re-run it
+    per downstream consumer."""
+    return admitted.join(
         pages_keyed.select("url_key", *PAGE_COLS), "url_key", "left"
-    )
-    fetched = joined.filter(F.col("image_id").isNotNull())
-    misses = joined.filter(F.col("image_id").isNull()).select(*FRONTIER_COLS)
-    return fetched, misses
+    ).withColumn("is_hit", F.col("image_id").isNotNull())
 
 
 def fetch_synthetic(

@@ -563,11 +563,16 @@ class CrawlEngine:
                 )
                 has_ok = True
             else:
-                f, m = X.fetch(adm, self.pages_keyed)
+                # same materialization boundary as the synthetic path:
+                # the corpus join runs exactly once and every consumer
+                # (hit/miss split, seen_keys unions, facts, writes) plans
+                # from the in-memory leaf instead of re-running the join.
+                enr = X.fetch(adm, self.pages_keyed).localCheckpoint()
+                f = enr.filter(F.col("is_hit")).drop("is_hit")
+                m = enr.filter(~F.col("is_hit")).select(*FRONTIER_COLS)
                 if cfg.verify_payloads:
                     f = X.verify_payloads(f, cfg.gen_seed, cfg.px_scale)
                 has_ok = cfg.verify_payloads
-                enr = None
             f = f.observe(
                 obs,
                 F.count(F.lit(1)).alias("n"),

@@ -20,7 +20,14 @@ SEED = 13
 N_SEEDS = 12
 MAX_ROUNDS = 5
 SUB_ROUNDS = 4  # config-variant crawls (resume/budget/pipelined): every
-# motif they assert still fires by round 4 (oracle-scanned)
+# motif they assert still fires by round 4 (oracle-scanned; round 3
+# loses budget_exceeded AND qmin_requery — 4 is the floor)
+# Config-variant crawls run the cheap 2-shard/2-partition state layout:
+# layout-only knobs — admission order and all parity assertions are
+# layout-independent (the module fixture engine_run keeps the wide
+# 8/4 layout, so shard routing stays covered at width >2).
+SUB_LAYOUT = dict(seen_shards=2, seen_bits=1 << 16, seen_buckets=1 << 10,
+                  partitions=2)
 
 
 @pytest.fixture(autouse=True, scope="module")
@@ -132,8 +139,8 @@ def test_synthetic_fetch_parity(spark, tmp_path_factory, oracle_result):
     produce the identical crawl: same seen set, same trace, same facts."""
     root = str(tmp_path_factory.mktemp("synth"))
     cfg = CrawlConfig(
-        max_rounds=MAX_ROUNDS, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
-        partitions=4, fetch_mode="synthetic", n_pages=N, gen_seed=SEED,
+        max_rounds=MAX_ROUNDS, fetch_mode="synthetic", n_pages=N,
+        gen_seed=SEED, **SUB_LAYOUT,
     )
     hs = datagen.generate_host_state_synthetic(spark, datagen.default_n_hosts(N))
     eng = CrawlEngine(spark, None, root, cfg)
@@ -152,10 +159,7 @@ def test_resume_equals_uninterrupted(spark, tmp_path_factory, corpus):
     )
     pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
     hs = datagen.generate_host_state(pages)
-    cfg = CrawlConfig(
-        max_rounds=SUB_ROUNDS, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
-        partitions=4, gen_seed=SEED,
-    )
+    cfg = CrawlConfig(max_rounds=SUB_ROUNDS, gen_seed=SEED, **SUB_LAYOUT)
     eng1 = CrawlEngine(spark, pages, root, cfg)
     snap = eng1.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
     for _ in range(2):
@@ -261,8 +265,7 @@ def test_seed_budget_parity(spark, tmp_path_factory, corpus):
     pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
     hs = datagen.generate_host_state(pages)
     cfg = CrawlConfig(
-        max_rounds=SUB_ROUNDS, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
-        partitions=4, seed_budget=budget, gen_seed=SEED,
+        max_rounds=SUB_ROUNDS, seed_budget=budget, gen_seed=SEED, **SUB_LAYOUT,
     )
     eng = CrawlEngine(spark, pages, root, cfg)
     snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
@@ -318,8 +321,7 @@ def test_pipelined_writes_parity(spark, tmp_path_factory, corpus):
     pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
     hs = datagen.generate_host_state(pages)
     cfg = CrawlConfig(
-        max_rounds=SUB_ROUNDS, seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10,
-        partitions=4, pipeline_writes=True, gen_seed=SEED,
+        max_rounds=SUB_ROUNDS, pipeline_writes=True, gen_seed=SEED, **SUB_LAYOUT,
     )
     eng = CrawlEngine(spark, pages, root, cfg)
     snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)

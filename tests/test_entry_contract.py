@@ -51,21 +51,15 @@ def test_query_matches_oracle(spark, ddb, name):
 
 
 def test_all_queries_have_oracle_or_are_flagged():
+    # every queries() entry has a DuckDB oracle twin: hash-native ops and
+    # binary-column probes dump a pure-Python brute-force twin the SQL
+    # reads back (oracle/probes.py) — zero rows-only entries since r5
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
-    assert set(osql) <= set(qs)
-    rows_only = set(qs) - set(osql)
-    # only hash-native ops and binary-column plumbing may skip the SQL
-    # oracle (the crawl probes all have dumped-oracle DuckDB twins now)
-    assert rows_only == {
-        "f12_xxhash_keys",
-        "dedup_simhash_pairs",
-        "sim_lsh_topk",
-        "mm_decode_features",
-        "mm_frame_sample",
-    }
+    assert set(osql) == set(qs)
 
 
-def test_rows_only_queries_run(spark):
+def test_dumped_oracle_queries_run(spark):
+    # the five dump-then-read probes exercise their twin path end-to-end
     qs = entry_mod.queries()
     for name in ("f12_xxhash_keys", "dedup_simhash_pairs", "sim_lsh_topk",
                  "mm_decode_features", "mm_frame_sample"):

@@ -31,6 +31,9 @@ SEED = 13
 N_SEEDS = 12
 MAX_ROUNDS = 5
 SUB_ROUNDS = 4  # config-variant crawls: motifs verified to fire by round 4
+# cheap 2/2 state layout for the config-variant crawls — layout-only
+# (parity is layout-independent; engine_run keeps the wide 8/4 layout)
+SUB_LAYOUT = dict(seen_shards=2, partitions=2)
 
 
 def _cfg(**kw):
@@ -227,7 +230,7 @@ def test_resume_equals_uninterrupted(spark, tmp_path_factory, corpus):
     )
     pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
     hs = datagen.generate_host_state(pages)
-    cfg = _cfg(max_rounds=SUB_ROUNDS)
+    cfg = _cfg(max_rounds=SUB_ROUNDS, **SUB_LAYOUT)
     eng1 = CrawlEngine(spark, pages, root, cfg)
     snap = eng1.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
     for _ in range(2):
@@ -250,7 +253,7 @@ def test_compaction_preserves_outputs(spark, tmp_path_factory, corpus):
     pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
     hs = datagen.generate_host_state(pages)
     eng = CrawlEngine(
-        spark, pages, root, _cfg(cold_compact_every=0, max_rounds=SUB_ROUNDS)
+        spark, pages, root, _cfg(cold_compact_every=0, max_rounds=SUB_ROUNDS, **SUB_LAYOUT)
     )
     snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
     final = eng.run(snap)
@@ -294,7 +297,7 @@ def test_pipelined_stratified_parity(spark, tmp_path_factory, corpus):
     )
     pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
     hs = datagen.generate_host_state(pages)
-    cfg = _cfg(pipeline_writes=True, max_rounds=SUB_ROUNDS)
+    cfg = _cfg(pipeline_writes=True, max_rounds=SUB_ROUNDS, **SUB_LAYOUT)
     eng = CrawlEngine(spark, pages, root, cfg)
     snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
     final = eng.run(snap)  # run() flushes pending writes
@@ -309,7 +312,7 @@ def test_synthetic_fetch_stratified_parity(spark, tmp_path_factory, corpus):
     ores = oracle.crawl(
         corpus, datagen.seed_urls(N_SEEDS, N, seed=SEED), max_rounds=SUB_ROUNDS, gen_seed=SEED
     )
-    cfg = _cfg(fetch_mode="synthetic", n_pages=N, max_rounds=SUB_ROUNDS)
+    cfg = _cfg(fetch_mode="synthetic", n_pages=N, max_rounds=SUB_ROUNDS, **SUB_LAYOUT)
     hs = datagen.generate_host_state_synthetic(spark, datagen.default_n_hosts(N))
     eng = CrawlEngine(spark, None, root, cfg)
     snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
@@ -339,7 +342,7 @@ def test_seed_budget_stratified_parity(spark, tmp_path_factory, corpus):
     pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
     hs = datagen.generate_host_state(pages)
     eng = CrawlEngine(
-        spark, pages, root, _cfg(seed_budget=budget, max_rounds=SUB_ROUNDS)
+        spark, pages, root, _cfg(seed_budget=budget, max_rounds=SUB_ROUNDS, **SUB_LAYOUT)
     )
     snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
     final = eng.run(snap)

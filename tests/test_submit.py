@@ -19,8 +19,11 @@ SPARK_SUBMIT = os.path.join(os.path.dirname(sys.executable), "spark-submit")
 
 N = 240
 N_SEEDS = 5
-MAX_ROUNDS = 4  # deployment-shape test: zip-only imports are proven by
-# round 1; 4 single-wave rounds keep the subprocess short (VERDICT r3 #5)
+MAX_ROUNDS = 2  # deployment-shape test: zip-only imports (incl. the
+# embedded PSL data) are proven by round 1, and round 2 proves the
+# expansion/seen machinery ran in the subprocess; more rounds add crawl
+# wall without adding deployment coverage (crawl semantics live in the
+# parity suites)
 
 
 @pytest.mark.skipif(
