@@ -150,25 +150,42 @@ def test_synthetic_fetch_parity(spark, tmp_path_factory, oracle_result):
     assert eng.crawl_trace(final) == oracle_result.trace
 
 
-def test_resume_equals_uninterrupted(spark, tmp_path_factory, corpus):
-    """Kill after round 2, resume with a fresh engine: final state must
-    equal the uninterrupted run (SURVEY §5.2.5)."""
-    root = str(tmp_path_factory.mktemp("resume"))
+@pytest.fixture(scope="module")
+def variant_run(spark, tmp_path_factory, corpus):
+    """ONE hardened config-variant crawl shared by the resume and
+    pipelined-writes tests (VERDICT r4 #3: one engine crawl per config
+    shape, each test keeps its own assertions): pipeline_writes=True,
+    interrupted after round 2, flushed (the documented durability point
+    for pipelined stores — rounds.py flush()), then resumed by a FRESH
+    engine from disk only and run to completion. Any of the composed
+    mechanisms — overlapped writes, manifest round-trip, round replay —
+    changing any output fails the parity asserts in the consumers."""
+    root = str(tmp_path_factory.mktemp("variant"))
     ores = oracle.crawl(
         corpus, datagen.seed_urls(N_SEEDS, N, seed=SEED), max_rounds=SUB_ROUNDS, gen_seed=SEED
     )
     pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
     hs = datagen.generate_host_state(pages)
-    cfg = CrawlConfig(max_rounds=SUB_ROUNDS, gen_seed=SEED, **SUB_LAYOUT)
+    cfg = CrawlConfig(
+        max_rounds=SUB_ROUNDS, pipeline_writes=True, gen_seed=SEED, **SUB_LAYOUT,
+    )
     eng1 = CrawlEngine(spark, pages, root, cfg)
     snap = eng1.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
     for _ in range(2):
         snap = eng1.run_round(snap)
+    eng1.flush()  # durability point; beyond it the engine is discarded
     # "crash": throw the engine away; resume from disk only
     eng2 = CrawlEngine(spark, pages, root, cfg)
     resumed = eng2.resume()
+    final = eng2.run(resumed)  # run() flushes pending writes
+    return eng2, resumed, final, ores, pages, cfg
+
+
+def test_resume_equals_uninterrupted(variant_run):
+    """Kill after round 2 (post-flush), resume with a fresh engine: final
+    state must equal the uninterrupted run (SURVEY §5.2.5)."""
+    eng2, resumed, final, ores, _, _ = variant_run
     assert resumed.round == 2
-    final = eng2.run(resumed)
     assert {r["url"] for r in eng2.seen_urls(final).collect()} == ores.seen
     assert eng2.crawl_trace(final) == ores.trace
 
@@ -310,22 +327,13 @@ def test_two_wave_parity(engine_run, oracle_result, corpus):
     assert sorted(emoved) == sorted(moved)
 
 
-def test_pipelined_writes_parity(spark, tmp_path_factory, corpus):
+def test_pipelined_writes_parity(spark, variant_run):
     """pipeline_writes=True (fetched/facts writes overlap the next round)
     must not change ANY output: seen/trace/facts parity, and a fresh
-    engine can resume from the flushed store."""
-    root = str(tmp_path_factory.mktemp("pipelined"))
-    ores = oracle.crawl(
-        corpus, datagen.seed_urls(N_SEEDS, N, seed=SEED), max_rounds=SUB_ROUNDS, gen_seed=SEED
-    )
-    pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
-    hs = datagen.generate_host_state(pages)
-    cfg = CrawlConfig(
-        max_rounds=SUB_ROUNDS, pipeline_writes=True, gen_seed=SEED, **SUB_LAYOUT,
-    )
-    eng = CrawlEngine(spark, pages, root, cfg)
-    snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
-    final = eng.run(snap)  # run() flushes pending writes
+    engine can resume from the flushed store. Rides the shared variant
+    crawl — its whole run (both pre- and post-resume halves) executed
+    with pipelining on."""
+    eng, resumed, final, ores, pages, cfg = variant_run
     assert {r["url"] for r in eng.seen_urls(final).collect()} == ores.seen
     assert eng.crawl_trace(final) == ores.trace
     results = {r["seed"]: r for r in eng.results(final).collect()}
@@ -333,5 +341,5 @@ def test_pipelined_writes_parity(spark, tmp_path_factory, corpus):
         for kind in FACT_KINDS:
             assert list(results[seed][kind]) == sorted(kinds.get(kind, set()))
     # flushed store is resumable by a fresh engine
-    eng2 = CrawlEngine(spark, pages, root, cfg)
+    eng2 = CrawlEngine(spark, pages, eng.store.root, cfg)
     assert eng2.resume().round == final.round

@@ -220,43 +220,53 @@ def test_drained_mode_collapses(engine_run):
             assert s.tables["queue_state"] == prev_qs  # referenced, not rewritten
 
 
-def test_resume_equals_uninterrupted(spark, tmp_path_factory, corpus):
-    """Crash after round 2, resume with a fresh engine: identical final
-    state — cold paths + queue state + E filter all round-trip through
-    the manifest."""
-    root = str(tmp_path_factory.mktemp("strat_resume"))
+@pytest.fixture(scope="module")
+def variant_run(spark, tmp_path_factory, corpus):
+    """ONE hardened config-variant crawl shared by the resume,
+    compaction, and pipelined tests (VERDICT r4 #3: one engine crawl per
+    config shape, each test keeps its own assertions): stratified +
+    pipeline_writes=True + cold_compact_every=0 (compaction every round),
+    interrupted after round 2, flushed (the documented durability point
+    for pipelined stores), then resumed by a FRESH engine from disk only
+    and run to completion. Any of the composed mechanisms — overlapped
+    writes, per-round compaction, cold-path/queue-state/E-filter manifest
+    round-trip, round replay — changing any output fails the parity
+    asserts in the consumers."""
+    root = str(tmp_path_factory.mktemp("strat_variant"))
     ores = oracle.crawl(
         corpus, datagen.seed_urls(N_SEEDS, N, seed=SEED), max_rounds=SUB_ROUNDS, gen_seed=SEED
     )
     pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
     hs = datagen.generate_host_state(pages)
-    cfg = _cfg(max_rounds=SUB_ROUNDS, **SUB_LAYOUT)
+    cfg = _cfg(
+        pipeline_writes=True, cold_compact_every=0, max_rounds=SUB_ROUNDS, **SUB_LAYOUT,
+    )
     eng1 = CrawlEngine(spark, pages, root, cfg)
     snap = eng1.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
     for _ in range(2):
         snap = eng1.run_round(snap)
+    eng1.flush()  # durability point; beyond it the engine is discarded
     eng2 = CrawlEngine(spark, pages, root, cfg)
     resumed = eng2.resume()
+    final = eng2.run(resumed)  # run() flushes pending writes
+    return eng2, resumed, final, ores, pages, cfg
+
+
+def test_resume_equals_uninterrupted(variant_run):
+    """Crash after round 2 (post-flush), resume with a fresh engine:
+    identical final state — cold paths + queue state + E filter all
+    round-trip through the manifest."""
+    eng2, resumed, final, ores, _, _ = variant_run
     assert resumed.round == 2
-    final = eng2.run(resumed)
     assert {r["url"] for r in eng2.seen_urls(final).collect()} == ores.seen
     assert eng2.crawl_trace(final) == ores.trace
 
 
-def test_compaction_preserves_outputs(spark, tmp_path_factory, corpus):
+def test_compaction_preserves_outputs(variant_run):
     """cold_compact_every=0 forces a compaction every round (delta list
-    folds to one base) — outputs must be identical."""
-    root = str(tmp_path_factory.mktemp("strat_compact"))
-    ores = oracle.crawl(
-        corpus, datagen.seed_urls(N_SEEDS, N, seed=SEED), max_rounds=SUB_ROUNDS, gen_seed=SEED
-    )
-    pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
-    hs = datagen.generate_host_state(pages)
-    eng = CrawlEngine(
-        spark, pages, root, _cfg(cold_compact_every=0, max_rounds=SUB_ROUNDS, **SUB_LAYOUT)
-    )
-    snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
-    final = eng.run(snap)
+    folds to one base) — outputs must be identical, including across the
+    mid-crawl resume in the shared variant run."""
+    eng, _, final, ores, _, _ = variant_run
     assert {r["url"] for r in eng.seen_urls(final).collect()} == ores.seen
     assert eng.crawl_trace(final) == ores.trace
     # compaction keeps the delta list at ~1 entry
@@ -287,23 +297,16 @@ def test_two_wave_stratified_parity(engine_run, oracle_result, corpus):
     assert sorted(emoved) == sorted(moved)
 
 
-def test_pipelined_stratified_parity(spark, tmp_path_factory, corpus):
+def test_pipelined_stratified_parity(spark, variant_run):
     """stratified + pipeline_writes — the bench's exact configuration —
     must produce the identical crawl (writes overlapped with the next
-    round's compute change durability timing only)."""
-    root = str(tmp_path_factory.mktemp("strat_pipe"))
-    ores = oracle.crawl(
-        corpus, datagen.seed_urls(N_SEEDS, N, seed=SEED), max_rounds=SUB_ROUNDS, gen_seed=SEED
-    )
-    pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
-    hs = datagen.generate_host_state(pages)
-    cfg = _cfg(pipeline_writes=True, max_rounds=SUB_ROUNDS, **SUB_LAYOUT)
-    eng = CrawlEngine(spark, pages, root, cfg)
-    snap = eng.start(datagen.seed_urls(N_SEEDS, N, seed=SEED), hs)
-    final = eng.run(snap)  # run() flushes pending writes
+    round's compute change durability timing only). Rides the shared
+    variant crawl — its whole run (both pre- and post-resume halves)
+    executed with pipelining on."""
+    eng, resumed, final, ores, pages, cfg = variant_run
     assert {r["url"] for r in eng.seen_urls(final).collect()} == ores.seen
     assert eng.crawl_trace(final) == ores.trace
-    eng2 = CrawlEngine(spark, pages, root, cfg)
+    eng2 = CrawlEngine(spark, pages, eng.store.root, cfg)
     assert eng2.resume().round == final.round
 
 
