@@ -264,6 +264,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
     # bench times the ENGINE: the probes' pure-Python oracle twins
     # (correctness machinery, driver-side scalar loops) are skipped
+    prev_skip = os.environ.get("SPARK_GRAFT_SKIP_ORACLE_DUMP")
     os.environ["SPARK_GRAFT_SKIP_ORACLE_DUMP"] = "1"
     out: dict[str, float] = {}
     try:
@@ -273,7 +274,11 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
             df.write.format("noop").mode("overwrite").save()
             out[name] = round(time.monotonic() - t0, 3)
     finally:
-        os.environ.pop("SPARK_GRAFT_SKIP_ORACLE_DUMP", None)
+        # restore (not pop): a caller-set skip flag must survive this call
+        if prev_skip is None:
+            os.environ.pop("SPARK_GRAFT_SKIP_ORACLE_DUMP", None)
+        else:
+            os.environ["SPARK_GRAFT_SKIP_ORACLE_DUMP"] = prev_skip
     return out
 
 
@@ -297,10 +302,15 @@ def main() -> None:
 
     spark = _spark()
     try:
-        crawl = run_crawl(spark)
         if args.crawl_only:
-            print(json.dumps(crawl))
+            # the scaling harness's subprocess leg — respects
+            # SPARK_GRAFT_BENCH_TWO_WAVE so --scaling-two-wave works
+            print(json.dumps(run_crawl(spark)))
             return
+        # headline single-wave row: pinned two_wave=False so an inherited
+        # SPARK_GRAFT_BENCH_TWO_WAVE=1 can't relabel a two-wave crawl as
+        # the single-wave headline (the two-wave leg below is explicit)
+        crawl = run_crawl(spark, two_wave=False)
         # the ENGINE DEFAULT shape (two_wave=True, dnsresolver_new.py:210)
         # gets its own headline row (VERDICT r4 #4): same input, same
         # session (JIT warm — no second warmup leg), identical-output

@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from dnscrawler_spark.hashing import splitmix64_np
+from dnscrawler_spark.session import free_local_checkpoint
 
 _FP_SALT = np.uint64(0xC0FFEE)
 _H2_SALT = np.uint64(0xB10053ED)
@@ -347,6 +348,10 @@ class SeenFilter:
         self.shard_paths = dict(shard_paths or {})
         self.key_files = list(key_files or [])
         self._persisted: list = []  # probe verdicts cached by filter_unseen
+        # localCheckpoint()-ed frames (the shared verdict join): their
+        # blocks are RDD storage, not cache-manager entries — release()
+        # frees them via free_local_checkpoint
+        self._checkpointed: list = []
         # set by insert_and_probe on the returned filter: per-pass stats
         # (e.g. n_dup_inserts — already-seen keys re-offered for insert)
         self.last_stats: dict = {}
@@ -888,6 +893,7 @@ class SeenFilter:
             ),
         }
         new_filter._persisted = self._persisted  # release() covers both
+        new_filter._checkpointed = self._checkpointed
 
         new_glue = None
         if with_glue:
@@ -942,6 +948,9 @@ class SeenFilter:
             key_col,
             "inner",
         ).localCheckpoint()
+        # tracked on the shared list so release() (round flush) frees its
+        # storage blocks after the round's last consumer
+        self._checkpointed.append(attached)
         # merged's last consumer was the checkpoint job above — release
         # the fused-pass cache now instead of at round flush
         merged.unpersist()
@@ -1002,10 +1011,13 @@ class SeenFilter:
         return total
 
     def release(self) -> None:
-        """Unpersist any probe verdicts cached by filter_unseen."""
+        """Release cached probe verdicts and checkpointed verdict joins."""
         for df in self._persisted:
             df.unpersist()
         self._persisted.clear()
+        for df in self._checkpointed:
+            free_local_checkpoint(df)
+        self._checkpointed.clear()
 
     def save_manifest(self, path: str) -> None:
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"

@@ -77,3 +77,30 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def free_local_checkpoint(df) -> bool:
+    """Deterministically release a ``localCheckpoint()``-ed DataFrame's
+    storage blocks.
+
+    ``DataFrame.unpersist()`` only talks to the cache manager; a local
+    checkpoint's blocks belong to the underlying RDD (the analyzed plan
+    is a ``LogicalRDD``), so they otherwise linger until the JVM Dataset
+    is GC'd and ContextCleaner runs — on a many-round crawl that pins
+    every round's fetch output (the round's largest frame) in
+    MEMORY_AND_DISK between GC cycles. Call strictly AFTER the frame's
+    last consumer: a freed checkpoint cannot be recomputed (lineage is
+    truncated), so any later action on it raises.
+
+    Returns True if blocks were released; False (silently) when the
+    frame is not a local checkpoint or the JVM handle is unavailable
+    (e.g. Spark Connect) — callers treat this as best-effort.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            plan.rdd().unpersist(False)
+            return True
+    except Exception:  # noqa: BLE001 — release is best-effort by contract
+        pass
+    return False

@@ -40,6 +40,7 @@ from dnscrawler_spark.operators.frontier import (
     seed_frontier_from_df,
 )
 from dnscrawler_spark.operators.seen import SeenFilter
+from dnscrawler_spark.session import free_local_checkpoint
 from dnscrawler_spark.sources.snapshots import Snapshot, SnapshotStore
 
 FACT_KINDS = [
@@ -327,7 +328,11 @@ class CrawlEngine:
             pnxt.tables[name] = fut.result()
         self.store.commit(pnxt)
         for df in unp:
+            # unpersist covers cached frames; free_local_checkpoint covers
+            # localCheckpoint()-ed ones (unpersist alone is a cache-manager
+            # no-op for those and their blocks would wait on JVM GC)
             df.unpersist()
+            free_local_checkpoint(df)
         pseen.release()
 
     # -- one round ------------------------------------------------------------
@@ -692,7 +697,13 @@ class CrawlEngine:
             obs_carry = Observation(f"carry_r{r}")
             new_rows = new_rows.observe(
                 obs_carry,
-                F.sum((F.col("reason") == "carry").cast("long")).alias("nc"),
+                # coalesce: SUM over an EMPTY frame is NULL, and a fired-
+                # with-NULL read is indistinguishable from a never-fired
+                # one below — without it a zero-new-rows round (drained
+                # late rounds) maps to n_carry=-1 and the skip never fires
+                F.coalesce(
+                    F.sum((F.col("reason") == "carry").cast("long")), F.lit(0)
+                ).alias("nc"),
             ).localCheckpoint()
             carry_rows = new_rows.filter(F.col("reason") == "carry")
             rest = new_rows.filter(F.col("reason") != "carry")
@@ -1219,12 +1230,17 @@ class CrawlEngine:
             to_unpersist.append(live_dead)
         if enriched is not None:
             to_unpersist.append(enriched)
+        if cfg.two_wave:
+            # the wave-boundary localCheckpoint (new_rows) — released via
+            # free_local_checkpoint below; unpersist alone can't touch it
+            to_unpersist.append(new_rows)
 
         if pending_futs is None:
             store.commit(nxt)
             tick("metrics+commit")
             for df in to_unpersist:
                 df.unpersist()
+                free_local_checkpoint(df)
             seen_final.release()
         else:
             # commit the PREVIOUS round (its background writes have had a

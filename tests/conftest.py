@@ -37,3 +37,30 @@ def _module_cache_hygiene():
             s.catalog.clearCache()
     except Exception:
         pass
+
+
+# Cheap 2-shard/2-partition state layout for config-variant crawls —
+# layout-only knobs (admission order and every parity assertion are
+# layout-independent; module fixtures keep the wide 8/4 layout so shard
+# routing stays covered at width >2). One constant, consumed by
+# test_crawl_parity / test_stratified / test_fuzz_parity.
+CHEAP_CRAWL_LAYOUT = dict(
+    seen_shards=2, seen_bits=1 << 16, seen_buckets=1 << 10, partitions=2
+)
+
+
+@pytest.fixture(scope="module")
+def crawl_conf(spark):
+    """Crawl-time session conf for fixture crawls (exactly what bench.py
+    and the __spark_entry__ probes set): AQE off — its per-exchange
+    materialization barriers are pure latency on a 240-page crawl's
+    known shapes — and a narrow fixed shuffle width. Layout-only; the
+    crawl modules' assertions are value parity. Request from an autouse
+    module fixture so non-crawl modules keep the session defaults."""
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    yield
+    spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    spark.conf.set("spark.sql.shuffle.partitions", shuf)

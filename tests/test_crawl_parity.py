@@ -22,28 +22,14 @@ MAX_ROUNDS = 5
 SUB_ROUNDS = 4  # config-variant crawls (resume/budget/pipelined): every
 # motif they assert still fires by round 4 (oracle-scanned; round 3
 # loses budget_exceeded AND qmin_requery — 4 is the floor)
-# Config-variant crawls run the cheap 2-shard/2-partition state layout:
-# layout-only knobs — admission order and all parity assertions are
-# layout-independent (the module fixture engine_run keeps the wide
-# 8/4 layout, so shard routing stays covered at width >2).
-SUB_LAYOUT = dict(seen_shards=2, seen_bits=1 << 16, seen_buckets=1 << 10,
-                  partitions=2)
+from conftest import CHEAP_CRAWL_LAYOUT as SUB_LAYOUT
 
 
 @pytest.fixture(autouse=True, scope="module")
-def _crawl_conf(spark):
-    """Fixture crawls run under the engine's own crawl-time session conf
-    (bench.py / the __spark_entry__ probes set exactly this): AQE off —
-    its per-exchange materialization barriers are pure latency on a
-    240-page crawl's known shapes — and a narrow fixed shuffle width.
-    Layout-only; every assertion in this module is value parity."""
-    aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    shuf = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+def _crawl_conf(crawl_conf):
+    """Run this module's fixture crawls under the shared crawl-time
+    session conf (conftest.crawl_conf)."""
     yield
-    spark.conf.set("spark.sql.adaptive.enabled", aqe)
-    spark.conf.set("spark.sql.shuffle.partitions", shuf)
 
 
 @pytest.fixture(scope="module")
@@ -343,3 +329,29 @@ def test_pipelined_writes_parity(spark, variant_run):
     # flushed store is resumable by a fresh engine
     eng2 = CrawlEngine(spark, pages, eng.store.root, cfg)
     assert eng2.resume().round == final.round
+
+
+def test_eager_resume_parity(spark, tmp_path_factory, corpus):
+    """Resume on the EAGER commit path (pipeline_writes=False). The
+    shared variant_run only exercises resume composed with pipelined
+    writes; the eager path commits in a different order (all writes
+    synchronous, manifest last, no flush seam), so a regression confined
+    to it would slip past the composed crawl. Small on purpose: 2 rounds,
+    cheap layout — the assertion is the manifest round-trip, not
+    topology coverage (the 5-round crawls above own that)."""
+    root = str(tmp_path_factory.mktemp("eager_resume"))
+    seeds = datagen.seed_urls(N_SEEDS, N, seed=SEED)
+    ores = oracle.crawl(corpus, seeds, max_rounds=2, gen_seed=SEED)
+    pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
+    hs = datagen.generate_host_state(pages)
+    cfg = CrawlConfig(max_rounds=2, gen_seed=SEED, **SUB_LAYOUT)
+    eng1 = CrawlEngine(spark, pages, root, cfg)
+    snap = eng1.run_round(eng1.start(seeds, hs))
+    # eager mode: the round's manifest is committed before run_round
+    # returns — no flush needed; "crash" by discarding the engine
+    eng2 = CrawlEngine(spark, pages, root, cfg)
+    resumed = eng2.resume()
+    assert resumed.round == 1
+    final = eng2.run(resumed)
+    assert {r["url"] for r in eng2.seen_urls(final).collect()} == ores.seen
+    assert eng2.crawl_trace(final) == ores.trace

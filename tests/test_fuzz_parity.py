@@ -14,6 +14,7 @@ all 16 OK, seen sets 49-84 urls, classic and stratified bit-identical
 per seed) backs the choice of carrying just these two in the suite."""
 
 import pytest
+from conftest import CHEAP_CRAWL_LAYOUT
 
 from dnscrawler_spark import datagen
 from dnscrawler_spark.oracle import crawler as oracle
@@ -26,17 +27,10 @@ FUZZ_CASES = [(29, False), (31, True)]  # (generator seed, stratified)
 
 
 @pytest.fixture(autouse=True, scope="module")
-def _crawl_conf(spark):
-    """Same crawl-time session conf as the other fixture crawls (see
-    test_crawl_parity._crawl_conf): layout-only, assertions are value
-    parity."""
-    aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    shuf = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+def _crawl_conf(crawl_conf):
+    """Run this module's fixture crawls under the shared crawl-time
+    session conf (conftest.crawl_conf)."""
     yield
-    spark.conf.set("spark.sql.adaptive.enabled", aqe)
-    spark.conf.set("spark.sql.shuffle.partitions", shuf)
 
 
 @pytest.mark.parametrize("fseed,stratified", FUZZ_CASES)
@@ -50,9 +44,8 @@ def test_unscanned_seed_parity(spark, tmp_path_factory, fseed, stratified):
     pages = datagen.generate_pages(spark, N, seed=fseed, partitions=4)
     hs = datagen.generate_host_state(pages)
     cfg = CrawlConfig(
-        max_rounds=ROUNDS, seen_shards=2, seen_bits=1 << 16,
-        seen_buckets=1 << 10, partitions=2, gen_seed=fseed,
-        stratified=stratified,
+        max_rounds=ROUNDS, gen_seed=fseed, stratified=stratified,
+        **CHEAP_CRAWL_LAYOUT,
     )
     eng = CrawlEngine(spark, pages, root, cfg)
     final = eng.run(eng.start(seeds, hs))

@@ -125,11 +125,15 @@ def test_wave_b_skip_zero_jobs_and_parity(spark, monkeypatch, tmp_path):
     the oracle exactly, pinning the skip path's bit-identical claim
     (ADVICE r4: a fixture guaranteed to produce an empty carry band).
     Shape (80 pages / 3 seeds / gen_seed 7) is oracle-scanned to
-    exercise skip -> wave-B -> skip across its 3 rounds."""
+    exercise skip -> wave-B -> skip across its rounds, and max_rounds is
+    set past the drain point (oracle drains after 9 rounds) so the FINAL
+    round has ZERO new rows: SUM over that empty frame is NULL, and the
+    engine must map it to n_carry=0 (skip fires), not conflate it with a
+    never-fired observation (-1, wave B runs on empty frames)."""
     from dnscrawler_spark.oracle import crawler as oracle
     from dnscrawler_spark.streaming.rounds import FACT_KINDS
 
-    n, n_seeds, gseed, rounds = 80, 3, 7, 3
+    n, n_seeds, gseed, rounds = 80, 3, 7, 12
     n_hosts = datagen.default_n_hosts(n)
     corpus = [datagen.page_row(i, gseed, n, n_hosts) for i in range(n)]
     seeds = datagen.seed_urls(n_seeds, n, seed=gseed)
@@ -178,6 +182,10 @@ def test_wave_b_skip_zero_jobs_and_parity(spark, monkeypatch, tmp_path):
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
         spark.conf.set("spark.sql.shuffle.partitions", shuf)
 
+    assert snap.metrics.get("done"), (
+        "fixture must DRAIN: the drained round's new_rows frame is empty, "
+        "pinning the NULL-sum-maps-to-0 path of the wave-B skip"
+    )
     assert len(per_round) == len(ores.carry_per_round)
     for (n_collects, n_carry, skipped), want_carry in zip(
         per_round, ores.carry_per_round
@@ -196,3 +204,39 @@ def test_wave_b_skip_zero_jobs_and_parity(spark, monkeypatch, tmp_path):
     for seed, kinds in ores.facts.items():
         for kind in FACT_KINDS:
             assert list(results[seed][kind]) == sorted(kinds.get(kind, set()))
+
+
+def test_crawl_releases_all_storage(spark, tmp_path):
+    """Storage hygiene (ADVICE r4 lineage of the debits leak, extended to
+    localCheckpoint blocks): after a crawl completes and flushes, every
+    frame the rounds persisted OR localCheckpoint()-ed must be released —
+    checkpoint blocks are RDD storage the cache manager can't see, so
+    DataFrame.unpersist() alone leaks one fetch output + one verdict join
+    per wave per round until JVM GC happens to run (free_local_checkpoint
+    is the deterministic path). Asserts no net new storage blocks remain
+    in the shared session after the crawl."""
+    n, gseed = 80, 7
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    cfg = CrawlConfig(
+        max_rounds=3, seen_shards=2, seen_bits=1 << 16, seen_buckets=1 << 10,
+        partitions=2, fetch_mode="synthetic", n_pages=n, gen_seed=gseed,
+        two_wave=True,
+    )
+    hs = datagen.generate_host_state_synthetic(spark, datagen.default_n_hosts(n))
+    eng = CrawlEngine(spark, None, str(tmp_path), cfg)
+    final = eng.run(eng.start(datagen.seed_urls(3, n, seed=gseed), hs))
+    assert final.round >= 3 or final.metrics.get("done")
+    # unpersist/free are non-blocking (async block removal): poll briefly
+    import time as _time
+
+    deadline = _time.monotonic() + 15
+    while True:
+        after = len(jsc.getRDDStorageInfo())
+        if after <= before or _time.monotonic() > deadline:
+            break
+        _time.sleep(0.5)
+    assert after <= before, (
+        f"crawl leaked {after - before} storage blocks: "
+        f"{[str(i.name()) for i in jsc.getRDDStorageInfo()]}"
+    )

@@ -32,8 +32,9 @@ N_SEEDS = 12
 MAX_ROUNDS = 5
 SUB_ROUNDS = 4  # config-variant crawls: motifs verified to fire by round 4
 # cheap 2/2 state layout for the config-variant crawls — layout-only
-# (parity is layout-independent; engine_run keeps the wide 8/4 layout)
-SUB_LAYOUT = dict(seen_shards=2, partitions=2)
+# (parity is layout-independent; engine_run keeps the wide 8/4 layout);
+# bits/buckets match _cfg's defaults, so this is shards+partitions only
+from conftest import CHEAP_CRAWL_LAYOUT as SUB_LAYOUT
 
 
 def _cfg(**kw):
@@ -46,17 +47,10 @@ def _cfg(**kw):
 
 
 @pytest.fixture(autouse=True, scope="module")
-def _crawl_conf(spark):
-    """Crawl-time session conf (same as bench.py / the probes): AQE off
-    + narrow fixed shuffle — layout-only, all assertions are value
-    parity (see test_crawl_parity._crawl_conf)."""
-    aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    shuf = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+def _crawl_conf(crawl_conf):
+    """Run this module's fixture crawls under the shared crawl-time
+    session conf (conftest.crawl_conf)."""
     yield
-    spark.conf.set("spark.sql.adaptive.enabled", aqe)
-    spark.conf.set("spark.sql.shuffle.partitions", shuf)
 
 
 @pytest.fixture(scope="module")
@@ -357,3 +351,24 @@ def test_seed_budget_stratified_parity(spark, tmp_path_factory, corpus):
             want = sorted(kinds.get(kind, set()))
             got = list(results[seed][kind])
             assert got == want, f"{seed} {kind}: {got} != {want}"
+
+
+def test_compaction_standalone_parity(spark, tmp_path_factory, corpus):
+    """Per-round cold compaction on an EAGER, uninterrupted crawl. The
+    shared variant_run only exercises compaction composed with pipelined
+    writes and a mid-crawl resume; eager mode folds the delta list under
+    a different flush ordering (writes synchronous, no overlap), so a
+    corruption confined to that ordering would slip past the composed
+    crawl. Small on purpose: 2 rounds, cheap layout."""
+    root = str(tmp_path_factory.mktemp("strat_compact"))
+    seeds = datagen.seed_urls(N_SEEDS, N, seed=SEED)
+    ores = oracle.crawl(corpus, seeds, max_rounds=2, gen_seed=SEED)
+    pages = datagen.generate_pages(spark, N, seed=SEED, partitions=4)
+    hs = datagen.generate_host_state(pages)
+    cfg = _cfg(cold_compact_every=0, max_rounds=2, **SUB_LAYOUT)
+    eng = CrawlEngine(spark, pages, root, cfg)
+    final = eng.run(eng.start(seeds, hs))
+    assert {r["url"] for r in eng.seen_urls(final).collect()} == ores.seen
+    assert eng.crawl_trace(final) == ores.trace
+    for rr in eng.store.history():
+        assert len(eng.store.load(rr).aux.get("cold_paths", [])) <= 2
