@@ -124,16 +124,17 @@ def test_wave_b_skip_zero_jobs_and_parity(spark, monkeypatch, tmp_path):
     pure-Python oracle (carry_per_round), and the final facts must match
     the oracle exactly, pinning the skip path's bit-identical claim
     (ADVICE r4: a fixture guaranteed to produce an empty carry band).
-    Shape (80 pages / 3 seeds / gen_seed 7) is oracle-scanned to
-    exercise skip -> wave-B -> skip across its rounds, and max_rounds is
-    set past the drain point (oracle drains after 9 rounds) so the FINAL
-    round has ZERO new rows: SUM over that empty frame is NULL, and the
-    engine must map it to n_carry=0 (skip fires), not conflate it with a
+    Shape (80 pages / 3 seeds / gen_seed 11) is oracle-scanned for carry
+    pattern [0,1,1,1,0]: a MID-crawl skip on a non-empty new_rows frame
+    (round 1), three wave-B rounds, and — because max_rounds sits past
+    the drain point (oracle drains after 5 rounds) — a FINAL round with
+    ZERO new rows: SUM over that empty frame is NULL, and the engine
+    must map it to n_carry=0 (skip fires), not conflate it with a
     never-fired observation (-1, wave B runs on empty frames)."""
     from dnscrawler_spark.oracle import crawler as oracle
     from dnscrawler_spark.streaming.rounds import FACT_KINDS
 
-    n, n_seeds, gseed, rounds = 80, 3, 7, 12
+    n, n_seeds, gseed, rounds = 80, 3, 11, 12
     n_hosts = datagen.default_n_hosts(n)
     corpus = [datagen.page_row(i, gseed, n, n_hosts) for i in range(n)]
     seeds = datagen.seed_urls(n_seeds, n, seed=gseed)
