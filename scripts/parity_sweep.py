@@ -1,0 +1,124 @@
+"""One-off engine-vs-oracle parity sweep across config space (round-5
+hardening): every case is a FULL parity crawl — seen set, exact
+(round,host,priority,depth,url) trace, and per-seed fact lists must all
+equal the pure-Python oracle's (oracle/crawler.py) on the same corpus.
+
+The suite carries two unscanned-seed cases (tests/test_fuzz_parity.py)
+to keep the pytest wall bounded; this script is the wide version run
+out-of-band: new generator seeds crossed with frontier mode
+(classic/stratified), wave mode (two-wave/single-wave), per-seed
+budgets, a bigger corpus, and the synthetic (no-corpus-join) fetch
+path. Results are recorded in BENCH.md / NOTES_r5.md.
+
+    python scripts/parity_sweep.py            # full matrix
+    python scripts/parity_sweep.py --quick    # first 4 cases (smoke)
+
+Exit code 0 iff every case is bit-identical to the oracle.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dnscrawler_spark import datagen
+from dnscrawler_spark.oracle import crawler as oracle
+from dnscrawler_spark.session import get_spark
+from dnscrawler_spark.streaming.rounds import CrawlConfig, CrawlEngine, FACT_KINDS
+
+# cheap state layout (layout-only knobs; parity assertions are
+# layout-independent — same rationale as tests/conftest.CHEAP_CRAWL_LAYOUT)
+LAYOUT = dict(seen_shards=2, seen_bits=1 << 16, seen_buckets=1 << 10, partitions=2)
+
+
+def case(fseed, *, stratified, two_wave=True, seed_budget=None, n=240,
+         n_seeds=12, rounds=3, fetch_mode="join"):
+    return dict(fseed=fseed, stratified=stratified, two_wave=two_wave,
+                seed_budget=seed_budget, n=n, n_seeds=n_seeds, rounds=rounds,
+                fetch_mode=fetch_mode)
+
+
+MATRIX = (
+    # 1. new unscanned generator seeds, engine-default shape, both frontiers
+    [case(s, stratified=st) for s in (37, 41, 43, 47, 53, 59) for st in (False, True)]
+    # 2. single-wave on a subset
+    + [case(s, stratified=st, two_wave=False) for s in (37, 43) for st in (False, True)]
+    # 3. per-seed fetch budget (round-granular kill) on a subset
+    + [case(s, stratified=st, seed_budget=3) for s in (41, 47) for st in (False, True)]
+    # 4. bigger corpus, more seeds, one extra round
+    + [case(61, stratified=st, n=480, n_seeds=20, rounds=4) for st in (False, True)]
+    # 5. synthetic fetch (per-URL regeneration, no corpus join)
+    + [case(37, stratified=st, fetch_mode="synthetic") for st in (False, True)]
+)
+
+
+def run_case(spark, c, root):
+    n, fseed = c["n"], c["fseed"]
+    n_hosts = datagen.default_n_hosts(n)
+    corpus = [datagen.page_row(i, fseed, n, n_hosts) for i in range(n)]
+    seeds = datagen.seed_urls(c["n_seeds"], n, seed=fseed)
+    ores = oracle.crawl(corpus, seeds, max_rounds=c["rounds"], gen_seed=fseed,
+                        seed_budget=c["seed_budget"], two_wave=c["two_wave"])
+
+    cfg_kw = dict(max_rounds=c["rounds"], gen_seed=fseed,
+                  stratified=c["stratified"], two_wave=c["two_wave"],
+                  seed_budget=c["seed_budget"], **LAYOUT)
+    if c["fetch_mode"] == "synthetic":
+        pages = None
+        hs = datagen.generate_host_state_synthetic(spark, n_hosts)
+        cfg = CrawlConfig(fetch_mode="synthetic", n_pages=n, **cfg_kw)
+    else:
+        pages = datagen.generate_pages(spark, n, seed=fseed, partitions=4)
+        hs = datagen.generate_host_state(pages)
+        cfg = CrawlConfig(**cfg_kw)
+    eng = CrawlEngine(spark, pages, root, cfg)
+    final = eng.run(eng.start(seeds, hs))
+
+    got = {r["url"] for r in eng.seen_urls(final).collect()}
+    bad = []
+    if got != ores.seen:
+        bad.append(f"seen: engine {len(got)} vs oracle {len(ores.seen)}")
+    if eng.crawl_trace(final) != ores.trace:
+        bad.append("trace mismatch")
+    results = {r["seed"]: r for r in eng.results(final).collect()}
+    if set(results) != set(ores.facts):
+        bad.append("fact seed-set mismatch")
+    else:
+        for seed, kinds in ores.facts.items():
+            for kind in FACT_KINDS:
+                if list(results[seed][kind]) != sorted(kinds.get(kind, set())):
+                    bad.append(f"facts {seed}/{kind}")
+    return len(got), bad
+
+
+def main():
+    quick = "--quick" in sys.argv
+    matrix = MATRIX[:4] if quick else MATRIX
+    spark = get_spark(master=f"local[{os.environ.get('SWEEP_CPUS', '8')}]")
+    # crawl-time session conf (what bench.py and the probes set)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    n_bad, lines = 0, []
+    with tempfile.TemporaryDirectory(prefix="parity_sweep_") as tmp:
+        for i, c in enumerate(matrix):
+            t0 = time.monotonic()
+            n_seen, bad = run_case(spark, c, os.path.join(tmp, f"case{i}"))
+            dt = time.monotonic() - t0
+            tag = (f"seed={c['fseed']} strat={int(c['stratified'])} "
+                   f"2w={int(c['two_wave'])} budget={c['seed_budget']} "
+                   f"n={c['n']} mode={c['fetch_mode']}")
+            status = "OK " if not bad else "BAD"
+            print(f"[{status}] {tag}: seen={n_seen} ({dt:.1f}s)"
+                  + ("" if not bad else f"  {bad}"), flush=True)
+            lines.append({**c, "seen": n_seen, "ok": not bad, "sec": round(dt, 1)})
+            n_bad += bool(bad)
+    print(json.dumps({"n_cases": len(matrix), "n_bad": n_bad, "cases": lines}))
+    spark.stop()
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,10 @@ list is the extension point — any new (seed, mode) pair is a full
 seen/trace/facts parity crawl. A one-off 8-seed sweep of the same
 assertion in BOTH modes (seeds 1,2,3,5,7,11,17,23 — run 2026-08-19,
 all 16 OK, seen sets 49-84 urls, classic and stratified bit-identical
-per seed) backs the choice of carrying just these two in the suite."""
+per seed) backs the choice of carrying just these two in the suite;
+scripts/parity_sweep.py extends the same assertion across the CONFIG
+axes (wave mode, per-seed budget, corpus size, synthetic fetch) —
+24/24 OK at round-5 HEAD, recorded in NOTES_r5.md."""
 
 import pytest
 from conftest import CHEAP_CRAWL_LAYOUT
