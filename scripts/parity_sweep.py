@@ -11,6 +11,10 @@ budgets, a bigger corpus, and the synthetic (no-corpus-join) fetch
 path. Results are recorded in BENCH.md / NOTES_r5.md.
 
     python scripts/parity_sweep.py            # full matrix
+    python scripts/parity_sweep.py --extended # second matrix: wide state
+                                              # layout x new seeds, 6-round
+                                              # depth, budget x wave/fetch/
+                                              # layout triples, 960-page corpus
     python scripts/parity_sweep.py --quick    # first 4 cases (smoke)
 
 Exit code 0 iff every case is bit-identical to the oracle.
@@ -35,10 +39,10 @@ LAYOUT = dict(seen_shards=2, seen_bits=1 << 16, seen_buckets=1 << 10, partitions
 
 
 def case(fseed, *, stratified, two_wave=True, seed_budget=None, n=240,
-         n_seeds=12, rounds=3, fetch_mode="join"):
+         n_seeds=12, rounds=3, fetch_mode="join", layout=None):
     return dict(fseed=fseed, stratified=stratified, two_wave=two_wave,
                 seed_budget=seed_budget, n=n, n_seeds=n_seeds, rounds=rounds,
-                fetch_mode=fetch_mode)
+                fetch_mode=fetch_mode, layout=layout or LAYOUT)
 
 
 MATRIX = (
@@ -54,6 +58,29 @@ MATRIX = (
     + [case(37, stratified=st, fetch_mode="synthetic") for st in (False, True)]
 )
 
+# Second out-of-band matrix (--extended): crosses the axes the first
+# sweep held fixed — the WIDE 8-shard/4-partition state layout on
+# unscanned topologies (the suite runs it only at the scanned seed 13),
+# depth beyond any in-suite crawl (6 rounds), and the axis triples the
+# pairwise cases above never combine (budget × single-wave,
+# budget × synthetic fetch, budget × wide layout).
+WIDE = dict(seen_shards=8, seen_bits=1 << 16, seen_buckets=1 << 10, partitions=4)
+MATRIX_EXTENDED = (
+    # 1. wide state layout × new unscanned seeds, both frontiers
+    [case(s, stratified=st, layout=WIDE) for s in (67, 71) for st in (False, True)]
+    # 2. depth: 6 two-wave rounds (the suite's deepest crawl is 5)
+    + [case(73, stratified=st, rounds=6) for st in (False, True)]
+    # 3. triple interaction: per-seed budget under single-wave
+    + [case(79, stratified=st, two_wave=False, seed_budget=3) for st in (False, True)]
+    # 4. per-seed budget on the synthetic (no-corpus-join) fetch path
+    + [case(83, stratified=st, fetch_mode="synthetic", seed_budget=4)
+       for st in (False, True)]
+    # 5. 4x the suite corpus: 960 pages, 24 seeds, 4 rounds
+    + [case(89, stratified=st, n=960, n_seeds=24, rounds=4) for st in (False, True)]
+    # 6. budget × wide layout × two-wave
+    + [case(97, stratified=st, seed_budget=3, layout=WIDE) for st in (False, True)]
+)
+
 
 def run_case(spark, c, root):
     n, fseed = c["n"], c["fseed"]
@@ -65,7 +92,7 @@ def run_case(spark, c, root):
 
     cfg_kw = dict(max_rounds=c["rounds"], gen_seed=fseed,
                   stratified=c["stratified"], two_wave=c["two_wave"],
-                  seed_budget=c["seed_budget"], **LAYOUT)
+                  seed_budget=c["seed_budget"], **c["layout"])
     if c["fetch_mode"] == "synthetic":
         pages = None
         hs = datagen.generate_host_state_synthetic(spark, n_hosts)
@@ -96,7 +123,9 @@ def run_case(spark, c, root):
 
 def main():
     quick = "--quick" in sys.argv
-    matrix = MATRIX[:4] if quick else MATRIX
+    matrix = MATRIX_EXTENDED if "--extended" in sys.argv else MATRIX
+    if quick:
+        matrix = matrix[:4]
     spark = get_spark(master=f"local[{os.environ.get('SWEEP_CPUS', '8')}]")
     # crawl-time session conf (what bench.py and the probes set)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -109,7 +138,8 @@ def main():
             dt = time.monotonic() - t0
             tag = (f"seed={c['fseed']} strat={int(c['stratified'])} "
                    f"2w={int(c['two_wave'])} budget={c['seed_budget']} "
-                   f"n={c['n']} mode={c['fetch_mode']}")
+                   f"n={c['n']} r={c['rounds']} mode={c['fetch_mode']} "
+                   f"shards={c['layout']['seen_shards']}")
             status = "OK " if not bad else "BAD"
             print(f"[{status}] {tag}: seen={n_seen} ({dt:.1f}s)"
                   + ("" if not bad else f"  {bad}"), flush=True)
