@@ -15,6 +15,11 @@ path. Results are recorded in BENCH.md / NOTES_r5.md.
                                               # layout x new seeds, 6-round
                                               # depth, budget x wave/fetch/
                                               # layout triples, 960-page corpus
+    python scripts/parity_sweep.py --knobs    # third matrix: off-default
+                                              # engine knobs (shuffle-hash
+                                              # policy fallback, replenish
+                                              # chunking, compaction cadence,
+                                              # cold bucketing)
     python scripts/parity_sweep.py --quick    # first 4 cases (smoke)
 
 Exit code 0 iff every case is bit-identical to the oracle.
@@ -39,10 +44,11 @@ LAYOUT = dict(seen_shards=2, seen_bits=1 << 16, seen_buckets=1 << 10, partitions
 
 
 def case(fseed, *, stratified, two_wave=True, seed_budget=None, n=240,
-         n_seeds=12, rounds=3, fetch_mode="join", layout=None):
+         n_seeds=12, rounds=3, fetch_mode="join", layout=None, extra=None):
     return dict(fseed=fseed, stratified=stratified, two_wave=two_wave,
                 seed_budget=seed_budget, n=n, n_seeds=n_seeds, rounds=rounds,
-                fetch_mode=fetch_mode, layout=layout or LAYOUT)
+                fetch_mode=fetch_mode, layout=layout or LAYOUT,
+                extra=extra or {})
 
 
 MATRIX = (
@@ -81,6 +87,30 @@ MATRIX_EXTENDED = (
     + [case(97, stratified=st, seed_budget=3, layout=WIDE) for st in (False, True)]
 )
 
+# Third matrix (--knobs): the engine knobs no fixture moves off their
+# defaults — each is a pure performance/layout lever whose admissions
+# and outputs must be bit-identical to the oracle (which has no such
+# knobs at all). policy_broadcast_max=0 forces the shuffle-hash
+# prepare_policy fallback in BOTH waves (the 10^10 round-0 path the
+# broadcast-pruned fast path otherwise shadows at fixture scale);
+# replenish_chunk changes the cold→hot pull amortization;
+# state_compact_every=0 compacts the politeness token deltas every
+# round; cold_buckets changes the cold-delta partitioning.
+MATRIX_KNOBS = (
+    [case(101, stratified=st, extra=dict(policy_broadcast_max=0))
+     for st in (False, True)]
+    + [case(103, stratified=True, extra=dict(replenish_chunk=c)) for c in (1, 8)]
+    + [case(107, stratified=True, extra=dict(cold_buckets=4))]
+    + [case(109, stratified=st, extra=dict(state_compact_every=0))
+       for st in (False, True)]
+    # everything at once, on top of a per-seed budget
+    + [case(113, stratified=True, seed_budget=3, extra=dict(
+        policy_broadcast_max=0, state_compact_every=0, replenish_chunk=1,
+        cold_buckets=4))]
+    + [case(113, stratified=False, seed_budget=3, extra=dict(
+        policy_broadcast_max=0, state_compact_every=0))]
+)
+
 
 def run_case(spark, c, root):
     n, fseed = c["n"], c["fseed"]
@@ -92,7 +122,8 @@ def run_case(spark, c, root):
 
     cfg_kw = dict(max_rounds=c["rounds"], gen_seed=fseed,
                   stratified=c["stratified"], two_wave=c["two_wave"],
-                  seed_budget=c["seed_budget"], **c["layout"])
+                  seed_budget=c["seed_budget"], **c["layout"],
+                  **c.get("extra", {}))
     if c["fetch_mode"] == "synthetic":
         pages = None
         hs = datagen.generate_host_state_synthetic(spark, n_hosts)
@@ -123,7 +154,11 @@ def run_case(spark, c, root):
 
 def main():
     quick = "--quick" in sys.argv
-    matrix = MATRIX_EXTENDED if "--extended" in sys.argv else MATRIX
+    matrix = MATRIX
+    if "--extended" in sys.argv:
+        matrix = MATRIX_EXTENDED
+    elif "--knobs" in sys.argv:
+        matrix = MATRIX_KNOBS
     if quick:
         matrix = matrix[:4]
     spark = get_spark(master=f"local[{os.environ.get('SWEEP_CPUS', '8')}]")
@@ -139,7 +174,8 @@ def main():
             tag = (f"seed={c['fseed']} strat={int(c['stratified'])} "
                    f"2w={int(c['two_wave'])} budget={c['seed_budget']} "
                    f"n={c['n']} r={c['rounds']} mode={c['fetch_mode']} "
-                   f"shards={c['layout']['seen_shards']}")
+                   f"shards={c['layout']['seen_shards']}"
+                   + (f" extra={c['extra']}" if c.get("extra") else ""))
             status = "OK " if not bad else "BAD"
             print(f"[{status}] {tag}: seen={n_seen} ({dt:.1f}s)"
                   + ("" if not bad else f"  {bad}"), flush=True)
