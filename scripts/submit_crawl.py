@@ -36,6 +36,12 @@ def main() -> None:
     ap.add_argument("--rate-scale", type=float, default=1.0)
     ap.add_argument("--px-scale", type=int, default=1)
     ap.add_argument("--partitions", type=int, default=None)
+    # seen-filter state layout (cluster sizing knobs: shards scale with
+    # key volume, bits/buckets with keys-per-shard — see bench.py's
+    # capacity sizing). Defaults = CrawlConfig defaults.
+    ap.add_argument("--seen-shards", type=int, default=None)
+    ap.add_argument("--seen-bits", type=int, default=None)
+    ap.add_argument("--seen-buckets", type=int, default=None)
     ap.add_argument("--stratified", action="store_true")
     # two-wave is the engine default (the reference runs two waves
     # unconditionally); this opts into the leaner single-wave loop
@@ -58,6 +64,15 @@ def main() -> None:
         n_hosts=n_hosts,
         px_scale=args.px_scale,
         partitions=args.partitions,
+        **{
+            k: v
+            for k, v in {
+                "seen_shards": args.seen_shards,
+                "seen_bits": args.seen_bits,
+                "seen_buckets": args.seen_buckets,
+            }.items()
+            if v is not None
+        },
         stratified=args.stratified,
         two_wave=not args.single_wave,
         pipeline_writes=args.pipeline_writes,

@@ -19,7 +19,17 @@ def spark():
     # local[8]: the suite is fixture-crawl latency-bound, and the fetch /
     # fused-pass stages use whatever cores exist; 8 threads on this
     # 32-core box cuts suite wall ~25% vs local[4] with identical plans
-    s = get_spark(app_name="dnscrawler_spark_tests", master="local[8]", shuffle_partitions=4)
+    s = get_spark(
+        app_name="dnscrawler_spark_tests",
+        master="local[8]",
+        shuffle_partitions=4,
+        # one JVM serves the whole suite (~15 fixture crawls): force the
+        # ContextCleaner's periodic full GC well below its 30min default
+        # so dead broadcast/RDD state is reclaimed DURING the run — a
+        # long-lived local JVM otherwise accumulates heap state that
+        # skews late-suite latency up to 2x (BENCH.md §0.8 / NOTES_r5)
+        extra_conf={"spark.cleaner.periodicGC.interval": "3min"},
+    )
     yield s
 
 

@@ -43,6 +43,9 @@ def test_spark_submit_pyfiles_crawl(tmp_path):
     env["PYTHONPATH"] = ""
     env["PYSPARK_PYTHON"] = sys.executable
     env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    # narrow shuffles for the 240-page crawl (same knob a real submit
+    # sizes per cluster); deployment coverage is layout-independent
+    env["SPARK_GRAFT_CPUS"] = "4"
     proc = subprocess.run(
         [
             SPARK_SUBMIT,
@@ -58,6 +61,13 @@ def test_spark_submit_pyfiles_crawl(tmp_path):
             "--n-pages", str(N),
             "--n-seeds", str(N_SEEDS),
             "--max-rounds", str(MAX_ROUNDS),
+            # cheap 2-shard state layout: zip-only imports + the crawl
+            # machinery are what this test proves; shard width is
+            # covered by the parity suites (wide module fixtures)
+            "--partitions", "2",
+            "--seen-shards", "2",
+            "--seen-bits", str(1 << 16),
+            "--seen-buckets", str(1 << 10),
             "--stratified",
             # single-wave keeps the subprocess inside the test timeout;
             # this test proves the DEPLOYMENT shape (zip-only imports),
