@@ -20,6 +20,11 @@ path. Results are recorded in BENCH.md / NOTES_r5.md.
                                               # policy fallback, replenish
                                               # chunking, compaction cadence,
                                               # cold bucketing)
+    python scripts/parity_sweep.py --lifecycle # fourth matrix: store/
+                                              # lifecycle axes (pipelined
+                                              # writes, interrupt+resume,
+                                              # rate scaling, lineage,
+                                              # run-to-drain)
     python scripts/parity_sweep.py --quick    # first 4 cases (smoke)
 
 Exit code 0 iff every case is bit-identical to the oracle.
@@ -44,11 +49,12 @@ LAYOUT = dict(seen_shards=2, seen_bits=1 << 16, seen_buckets=1 << 10, partitions
 
 
 def case(fseed, *, stratified, two_wave=True, seed_budget=None, n=240,
-         n_seeds=12, rounds=3, fetch_mode="join", layout=None, extra=None):
+         n_seeds=12, rounds=3, fetch_mode="join", layout=None, extra=None,
+         rate_scale=1.0, resume_at=None):
     return dict(fseed=fseed, stratified=stratified, two_wave=two_wave,
                 seed_budget=seed_budget, n=n, n_seeds=n_seeds, rounds=rounds,
                 fetch_mode=fetch_mode, layout=layout or LAYOUT,
-                extra=extra or {})
+                extra=extra or {}, rate_scale=rate_scale, resume_at=resume_at)
 
 
 MATRIX = (
@@ -112,13 +118,46 @@ MATRIX_KNOBS = (
 )
 
 
+# Fourth matrix (--lifecycle): the store/lifecycle axes the first three
+# matrices hold fixed (the suite covers each only at the scanned seed
+# 13) — pipelined overlapped writes, interrupt-after-round-k + resume by
+# a FRESH engine from disk only (eager and pipelined commit orders),
+# politeness rate scaling (the only host-policy knob; the oracle models
+# it too, so admissions must track it exactly), opt-in lineage
+# collection (an extra cache-read job that must not perturb outputs),
+# per-round cold-delta compaction, and run-to-drain (max_rounds far past
+# the drain point: the A6 emptiness stop must fire at the same round as
+# the oracle's — trace equality pins it).
+MATRIX_LIFECYCLE = (
+    # 1. pipelined writes on unscanned topologies, both frontiers
+    [case(127, stratified=st, extra=dict(pipeline_writes=True))
+     for st in (False, True)]
+    # 2. interrupt@2 + fresh-engine resume, eager commit path
+    + [case(131, stratified=st, rounds=4, resume_at=2) for st in (False, True)]
+    # 3. interrupt@2 + resume composed with pipelined writes
+    + [case(137, stratified=st, rounds=4, resume_at=2,
+            extra=dict(pipeline_writes=True)) for st in (False, True)]
+    # 4. politeness rate scaling (halved and doubled token rates)
+    + [case(139, stratified=True, rate_scale=0.5),
+       case(139, stratified=False, rate_scale=2.0)]
+    # 5. opt-in lineage collection, both frontiers
+    + [case(149, stratified=st, extra=dict(collect_lineage=True))
+       for st in (False, True)]
+    # 6. cold-delta compaction every round (stratified-only knob)
+    + [case(151, stratified=True, extra=dict(cold_compact_every=0))]
+    # 7. run-to-drain: the frontier empties well before max_rounds
+    + [case(157, stratified=st, rounds=12) for st in (False, True)]
+)
+
+
 def run_case(spark, c, root):
     n, fseed = c["n"], c["fseed"]
     n_hosts = datagen.default_n_hosts(n)
     corpus = [datagen.page_row(i, fseed, n, n_hosts) for i in range(n)]
     seeds = datagen.seed_urls(c["n_seeds"], n, seed=fseed)
     ores = oracle.crawl(corpus, seeds, max_rounds=c["rounds"], gen_seed=fseed,
-                        seed_budget=c["seed_budget"], two_wave=c["two_wave"])
+                        seed_budget=c["seed_budget"], two_wave=c["two_wave"],
+                        rate_scale=c["rate_scale"])
 
     cfg_kw = dict(max_rounds=c["rounds"], gen_seed=fseed,
                   stratified=c["stratified"], two_wave=c["two_wave"],
@@ -126,14 +165,27 @@ def run_case(spark, c, root):
                   **c.get("extra", {}))
     if c["fetch_mode"] == "synthetic":
         pages = None
-        hs = datagen.generate_host_state_synthetic(spark, n_hosts)
+        hs = datagen.generate_host_state_synthetic(spark, n_hosts, c["rate_scale"])
         cfg = CrawlConfig(fetch_mode="synthetic", n_pages=n, **cfg_kw)
     else:
         pages = datagen.generate_pages(spark, n, seed=fseed, partitions=4)
-        hs = datagen.generate_host_state(pages)
+        hs = datagen.generate_host_state(pages, c["rate_scale"])
         cfg = CrawlConfig(**cfg_kw)
     eng = CrawlEngine(spark, pages, root, cfg)
-    final = eng.run(eng.start(seeds, hs))
+    if c["resume_at"]:
+        # interrupt: run k rounds, flush (the pipelined durability
+        # point; no-op on the eager path), throw the engine away, and
+        # resume from the on-disk store with a FRESH engine
+        snap = eng.start(seeds, hs)
+        for _ in range(c["resume_at"]):
+            snap = eng.run_round(snap)
+        eng.flush()
+        eng = CrawlEngine(spark, pages, root, cfg)
+        resumed = eng.resume()
+        assert resumed.round == c["resume_at"]
+        final = eng.run(resumed)
+    else:
+        final = eng.run(eng.start(seeds, hs))
 
     got = {r["url"] for r in eng.seen_urls(final).collect()}
     bad = []
@@ -159,6 +211,8 @@ def main():
         matrix = MATRIX_EXTENDED
     elif "--knobs" in sys.argv:
         matrix = MATRIX_KNOBS
+    elif "--lifecycle" in sys.argv:
+        matrix = MATRIX_LIFECYCLE
     if quick:
         matrix = matrix[:4]
     spark = get_spark(master=f"local[{os.environ.get('SWEEP_CPUS', '8')}]")
@@ -175,6 +229,8 @@ def main():
                    f"2w={int(c['two_wave'])} budget={c['seed_budget']} "
                    f"n={c['n']} r={c['rounds']} mode={c['fetch_mode']} "
                    f"shards={c['layout']['seen_shards']}"
+                   + (f" rate={c['rate_scale']}" if c["rate_scale"] != 1.0 else "")
+                   + (f" resume@{c['resume_at']}" if c["resume_at"] else "")
                    + (f" extra={c['extra']}" if c.get("extra") else ""))
             status = "OK " if not bad else "BAD"
             print(f"[{status}] {tag}: seen={n_seen} ({dt:.1f}s)"
