@@ -172,17 +172,19 @@ def run_case(spark, c, root):
         hs = datagen.generate_host_state(pages, c["rate_scale"])
         cfg = CrawlConfig(**cfg_kw)
     eng = CrawlEngine(spark, pages, root, cfg)
-    if c["resume_at"]:
+    if c["resume_at"] is not None:
         # interrupt: run k rounds, flush (the pipelined durability
         # point; no-op on the eager path), throw the engine away, and
         # resume from the on-disk store with a FRESH engine
         snap = eng.start(seeds, hs)
         for _ in range(c["resume_at"]):
+            if snap.metrics.get("done"):  # mirror run()'s stop-at-drain
+                break
             snap = eng.run_round(snap)
         eng.flush()
         eng = CrawlEngine(spark, pages, root, cfg)
         resumed = eng.resume()
-        assert resumed.round == c["resume_at"]
+        assert resumed.round == snap.round
         final = eng.run(resumed)
     else:
         final = eng.run(eng.start(seeds, hs))
@@ -206,13 +208,14 @@ def run_case(spark, c, root):
 
 def main():
     quick = "--quick" in sys.argv
-    matrix = MATRIX
-    if "--extended" in sys.argv:
-        matrix = MATRIX_EXTENDED
-    elif "--knobs" in sys.argv:
-        matrix = MATRIX_KNOBS
-    elif "--lifecycle" in sys.argv:
-        matrix = MATRIX_LIFECYCLE
+    matrices = dict(extended=MATRIX_EXTENDED, knobs=MATRIX_KNOBS,
+                    lifecycle=MATRIX_LIFECYCLE)
+    picked = [k for k in matrices if f"--{k}" in sys.argv]
+    if len(picked) > 1:
+        # refuse rather than silently run only the first: an all-green
+        # exit 0 here would record axes as swept that never ran
+        sys.exit(f"pick ONE matrix flag, got {picked}")
+    matrix = matrices[picked[0]] if picked else MATRIX
     if quick:
         matrix = matrix[:4]
     spark = get_spark(master=f"local[{os.environ.get('SWEEP_CPUS', '8')}]")

@@ -14,6 +14,8 @@ import sys
 
 import pytest
 
+from conftest import CHEAP_CRAWL_LAYOUT
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SPARK_SUBMIT = os.path.join(os.path.dirname(sys.executable), "spark-submit")
 
@@ -61,13 +63,14 @@ def test_spark_submit_pyfiles_crawl(tmp_path):
             "--n-pages", str(N),
             "--n-seeds", str(N_SEEDS),
             "--max-rounds", str(MAX_ROUNDS),
-            # cheap 2-shard state layout: zip-only imports + the crawl
-            # machinery are what this test proves; shard width is
-            # covered by the parity suites (wide module fixtures)
-            "--partitions", "2",
-            "--seen-shards", "2",
-            "--seen-bits", str(1 << 16),
-            "--seen-buckets", str(1 << 10),
+            # cheap 2-shard state layout (the suite-wide canonical one):
+            # zip-only imports + the crawl machinery are what this test
+            # proves; shard width is covered by the parity suites (wide
+            # module fixtures)
+            "--partitions", str(CHEAP_CRAWL_LAYOUT["partitions"]),
+            "--seen-shards", str(CHEAP_CRAWL_LAYOUT["seen_shards"]),
+            "--seen-bits", str(CHEAP_CRAWL_LAYOUT["seen_bits"]),
+            "--seen-buckets", str(CHEAP_CRAWL_LAYOUT["seen_buckets"]),
             "--stratified",
             # single-wave keeps the subprocess inside the test timeout;
             # this test proves the DEPLOYMENT shape (zip-only imports),
