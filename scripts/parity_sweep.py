@@ -25,6 +25,10 @@ path. Results are recorded in BENCH.md / NOTES_r5.md.
                                               # writes, interrupt+resume,
                                               # rate scaling, lineage,
                                               # run-to-drain)
+    python scripts/parity_sweep.py --phys     # fifth matrix: physical/
+                                              # payload knobs (salting
+                                              # width, 4x px payloads with
+                                              # verification on, verify off)
     python scripts/parity_sweep.py --quick    # first 4 cases (smoke)
 
 Exit code 0 iff every case is bit-identical to the oracle.
@@ -50,11 +54,12 @@ LAYOUT = dict(seen_shards=2, seen_bits=1 << 16, seen_buckets=1 << 10, partitions
 
 def case(fseed, *, stratified, two_wave=True, seed_budget=None, n=240,
          n_seeds=12, rounds=3, fetch_mode="join", layout=None, extra=None,
-         rate_scale=1.0, resume_at=None):
+         rate_scale=1.0, resume_at=None, px_scale=1):
     return dict(fseed=fseed, stratified=stratified, two_wave=two_wave,
                 seed_budget=seed_budget, n=n, n_seeds=n_seeds, rounds=rounds,
                 fetch_mode=fetch_mode, layout=layout or LAYOUT,
-                extra=extra or {}, rate_scale=rate_scale, resume_at=resume_at)
+                extra=extra or {}, rate_scale=rate_scale, resume_at=resume_at,
+                px_scale=px_scale)
 
 
 MATRIX = (
@@ -150,16 +155,33 @@ MATRIX_LIFECYCLE = (
 )
 
 
+# Fifth matrix (--phys): the physical/payload knobs — host-salting
+# width (n_salts spreads a hot host across partitions; admissions must
+# not depend on it), px_scale (4x image payloads WITH per-row
+# decoded-pixel verification on — the north-rule invariant at a bigger
+# payload shape), and verify_payloads=False (the verification stage
+# removed entirely must not change a crawl decision).
+MATRIX_PHYS = (
+    # 1. salting collapsed to 1 (no spread) and widened to 8
+    [case(163, stratified=st, extra=dict(n_salts=1)) for st in (False, True)]
+    + [case(167, stratified=True, extra=dict(n_salts=8))]
+    # 2. 4x payload pixels, per-row PSNR/exact verification on
+    + [case(173, stratified=st, px_scale=4) for st in (False, True)]
+    # 3. payload verification off
+    + [case(179, stratified=True, extra=dict(verify_payloads=False))]
+)
+
+
 def run_case(spark, c, root):
-    n, fseed = c["n"], c["fseed"]
+    n, fseed, px = c["n"], c["fseed"], c["px_scale"]
     n_hosts = datagen.default_n_hosts(n)
-    corpus = [datagen.page_row(i, fseed, n, n_hosts) for i in range(n)]
+    corpus = [datagen.page_row(i, fseed, n, n_hosts, px) for i in range(n)]
     seeds = datagen.seed_urls(c["n_seeds"], n, seed=fseed)
     ores = oracle.crawl(corpus, seeds, max_rounds=c["rounds"], gen_seed=fseed,
                         seed_budget=c["seed_budget"], two_wave=c["two_wave"],
                         rate_scale=c["rate_scale"])
 
-    cfg_kw = dict(max_rounds=c["rounds"], gen_seed=fseed,
+    cfg_kw = dict(max_rounds=c["rounds"], gen_seed=fseed, px_scale=px,
                   stratified=c["stratified"], two_wave=c["two_wave"],
                   seed_budget=c["seed_budget"], **c["layout"],
                   **c.get("extra", {}))
@@ -168,7 +190,8 @@ def run_case(spark, c, root):
         hs = datagen.generate_host_state_synthetic(spark, n_hosts, c["rate_scale"])
         cfg = CrawlConfig(fetch_mode="synthetic", n_pages=n, **cfg_kw)
     else:
-        pages = datagen.generate_pages(spark, n, seed=fseed, partitions=4)
+        pages = datagen.generate_pages(spark, n, seed=fseed, partitions=4,
+                                       px_scale=px)
         hs = datagen.generate_host_state(pages, c["rate_scale"])
         cfg = CrawlConfig(**cfg_kw)
     eng = CrawlEngine(spark, pages, root, cfg)
@@ -209,7 +232,7 @@ def run_case(spark, c, root):
 def main():
     quick = "--quick" in sys.argv
     matrices = dict(extended=MATRIX_EXTENDED, knobs=MATRIX_KNOBS,
-                    lifecycle=MATRIX_LIFECYCLE)
+                    lifecycle=MATRIX_LIFECYCLE, phys=MATRIX_PHYS)
     picked = [k for k in matrices if f"--{k}" in sys.argv]
     if len(picked) > 1:
         # refuse rather than silently run only the first: an all-green
@@ -233,7 +256,8 @@ def main():
                    f"n={c['n']} r={c['rounds']} mode={c['fetch_mode']} "
                    f"shards={c['layout']['seen_shards']}"
                    + (f" rate={c['rate_scale']}" if c["rate_scale"] != 1.0 else "")
-                   + (f" resume@{c['resume_at']}" if c["resume_at"] else "")
+                   + (f" px={c['px_scale']}" if c["px_scale"] != 1 else "")
+                   + (f" resume@{c['resume_at']}" if c["resume_at"] is not None else "")
                    + (f" extra={c['extra']}" if c.get("extra") else ""))
             status = "OK " if not bad else "BAD"
             print(f"[{status}] {tag}: seen={n_seen} ({dt:.1f}s)"
