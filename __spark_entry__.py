@@ -680,6 +680,22 @@ def q_sim_lsh_topk(spark, sf):
     return S.lsh_topk(e, e.filter(F.col("vec_id") < 4), k=10, n_planes=12)
 
 
+def q_sim_ivf_topk(spark, sf):
+    # the OTHER ANN scale path (inverted-file coarse quantizer) next to
+    # lsh_topk; deterministic centroids, so result EXACTNESS (assignment,
+    # probe set, re-rank order) is verified against the scalar twin
+    from dnscrawler_spark.oracle import probes as OP
+
+    _dump_oracle(
+        "ivf_topk_oracle",
+        lambda: OP.sim_ivf_topk(sf, k=10, n_centroids=16, n_probe=4, n_queries=4),
+    )
+    e = _t(spark, sf, "embeddings")
+    return S.ivf_topk(
+        e, e.filter(F.col("vec_id") < 4), k=10, n_centroids=16, n_probe=4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q_pricing_summary,
@@ -715,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q_text_fingerprints,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "streaming_windowed_counts": q_streaming_windowed_counts,
         "streaming_stateful_stats": q_streaming_stateful_stats,
@@ -1046,6 +1063,10 @@ def oracle_sql() -> dict[str, str]:
         "sim_lsh_topk": """
             SELECT query_id, vec_id, score, rn
             FROM read_parquet('/tmp/dnscrawler_spark_probe/lsh_topk_oracle.parquet')
+        """,
+        "sim_ivf_topk": """
+            SELECT query_id, vec_id, score, rn
+            FROM read_parquet('/tmp/dnscrawler_spark_probe/ivf_topk_oracle.parquet')
         """,
         "mm_decode_features": """
             SELECT image_id, fmt, dec_w, dec_h, channels, mean_luma, decode_ok

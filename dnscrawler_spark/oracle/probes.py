@@ -24,7 +24,7 @@ from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 
-from dnscrawler_spark.oracle.pyxxhash import spark_xxhash64
+from dnscrawler_spark.oracle.pyxxhash import Long, spark_xxhash64
 
 _MASK = (1 << 64) - 1
 # Java regex \s (Spark's regexp_replace) — NOT Python's unicode \s
@@ -164,6 +164,55 @@ def sim_lsh_topk(
             (spark_round(_cosine(cv, qv), 6), cid)
             for cid, cv in corpus
             if cid != qid and sketches[cid] in probes
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rn, (score, cid) in enumerate(scored[:k], start=1):
+            out.append((qid, cid, score, rn))
+    return pd.DataFrame(
+        out, columns=["query_id", "vec_id", "score", "rn"]
+    ).astype({"query_id": "int64", "vec_id": "int64", "score": "float64", "rn": "int64"})
+
+
+def sim_ivf_topk(
+    sf_dir: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_queries: int = 4,
+) -> pd.DataFrame:
+    """Twin of similarity.ivf_topk over embeddings with queries
+    vec_id < n_queries: centroids = the n_centroids corpus vectors with
+    the smallest xxhash64(vec_id, 'ivf-train') (ties by vec_id; cluster
+    id = rank), every corpus vector assigned to its argmax-cosine
+    centroid (ties -> larger cluster id, the struct-max rule), each
+    query exactly re-ranking its n_probe nearest centroid lists
+    (score desc, cid desc), per-query top-k by (score desc, vec_id)."""
+    rows = _read(sf_dir, "embeddings", "vec_id, embedding")
+    corpus = [(int(v), [float(x) for x in emb]) for v, emb in rows]
+    # vec_id is a BIGINT column -> 8-byte hash (Long marker)
+    by_hash = sorted(
+        corpus, key=lambda t: (spark_xxhash64(Long(t[0]), "ivf-train"), t[0])
+    )
+    cents = [v for _, v in by_hash[:n_centroids]]
+
+    def centroid_scores(vec):
+        return [(_cosine(vec, cv), ci) for ci, cv in enumerate(cents)]
+
+    assign = {vid: max(centroid_scores(v))[1] for vid, v in corpus}
+    out = []
+    for qid, qv in corpus:
+        if qid >= n_queries:
+            continue
+        probes = {
+            ci
+            for _, ci in sorted(
+                centroid_scores(qv), key=lambda t: (-t[0], -t[1])
+            )[:n_probe]
+        }
+        scored = [
+            (spark_round(_cosine(cv, qv), 6), cid)
+            for cid, cv in corpus
+            if cid != qid and assign[cid] in probes
         ]
         scored.sort(key=lambda t: (-t[0], t[1]))
         for rn, (score, cid) in enumerate(scored[:k], start=1):

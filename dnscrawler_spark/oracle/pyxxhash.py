@@ -112,6 +112,12 @@ def _signed(x: int) -> int:
     return x - (1 << 64) if x >= (1 << 63) else x
 
 
+class Long(int):
+    """Marker for BIGINT columns: hash the 8-byte value even when it
+    fits in 32 bits (``spark_xxhash64`` otherwise mirrors ``F.lit``
+    inference, which types small Python ints as IntegerType)."""
+
+
 def spark_xxhash64(*cols) -> int:
     """``F.xxhash64(*cols)`` twin: chain the per-column hashes starting
     at seed 42, return the SIGNED 64-bit value Spark's LongType carries.
@@ -129,6 +135,8 @@ def spark_xxhash64(*cols) -> int:
             h = xxh64_bytes(c.encode("utf-8"), h)
         elif isinstance(c, bool):
             raise TypeError("boolean columns not needed by any probe")
+        elif isinstance(c, Long):
+            h = xxh64_long(int(c) & _MASK, h)
         elif isinstance(c, int):
             if -(1 << 31) <= c < (1 << 31):
                 h = xxh64_int(c, h)

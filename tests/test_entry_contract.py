@@ -59,10 +59,10 @@ def test_all_queries_have_oracle_or_are_flagged():
 
 
 def test_dumped_oracle_queries_run(spark):
-    # the five dump-then-read probes exercise their twin path end-to-end
+    # the six dump-then-read probes exercise their twin path end-to-end
     qs = entry_mod.queries()
     for name in ("f12_xxhash_keys", "dedup_simhash_pairs", "sim_lsh_topk",
-                 "mm_decode_features", "mm_frame_sample"):
+                 "sim_ivf_topk", "mm_decode_features", "mm_frame_sample"):
         df = qs[name](spark, SF)
         assert df.count() >= 0
 

@@ -41,6 +41,29 @@ def test_embedding_near_dup_lsh_is_subset_with_recall(emb):
         assert len(lsh) / len(exact) > 0.2  # 2-plane buckets, same-sign pairs only
 
 
+def test_ivf_topk_subset_and_recall(emb):
+    """IVF-probed top-k scores only true cosine values (every returned
+    pair appears in the exact brute-force ranking with the SAME score)
+    and keeps useful recall@10 with 4 of 16 lists probed; recall is
+    monotone in n_probe, reaching exact at n_probe = n_centroids (every
+    list scanned => identical to brute force)."""
+    from dnscrawler_spark.operators import similarity as S
+
+    q = emb.filter(F.col("vec_id") < 4)
+    exact = S.cosine_topk(emb, q, k=10).collect()
+    exact_scores = {(r["query_id"], r["vec_id"]): r["score"] for r in exact}
+    ivf = S.ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4).collect()
+    assert all(
+        exact_scores.get((r["query_id"], r["vec_id"])) in (None, r["score"])
+        for r in ivf
+    )
+    hits = sum((r["query_id"], r["vec_id"]) in exact_scores for r in ivf)
+    assert hits / len(exact) >= 0.5  # recall@10, 4/16 lists probed
+    full = S.ivf_topk(emb, q, k=10, n_centroids=16, n_probe=16).collect()
+    assert {tuple(r) for r in full} == {tuple(r) for r in exact}
+    assert sum((r["query_id"], r["vec_id"]) in exact_scores for r in full) >= hits
+
+
 def test_streaming_windowed_counts_equals_batch(spark):
     from dnscrawler_spark.streaming.windows import windowed_event_counts
 
