@@ -282,6 +282,31 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_crawl_fresh(two_wave: bool) -> dict:
+    """One headline crawl leg in a FRESH JVM (subprocess --crawl-only,
+    unpinned, same protocol): each leg is measured in the state its
+    published band was measured in (standalone), not in whatever heap
+    the query suite plus the PRIOR leg left behind — the same
+    positional effect §0.8 fixed for the fixture probes (same-box A/B:
+    the two-wave leg read 183.6 s as the last job of a full suite vs
+    127.3 s standalone minutes later, identical outputs). The leg's own
+    JIT warmup runs inside the subprocess, so the measured window is
+    steady-state exactly as before."""
+    env = dict(os.environ, SPARK_GRAFT_BENCH_TWO_WAVE="1" if two_wave else "0")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--crawl-only"],
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"headline leg (two_wave={two_wave}) failed rc={proc.returncode}: "
+            f"{proc.stderr[-2000:]}"
+        )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--crawl-only", action="store_true")
@@ -319,17 +344,21 @@ def main() -> None:
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
         queries = run_queries(spark, sf_dir)
-        # headline single-wave row: pinned two_wave=False so an inherited
-        # SPARK_GRAFT_BENCH_TWO_WAVE=1 can't relabel a two-wave crawl as
-        # the single-wave headline (the two-wave leg below is explicit)
-        crawl = run_crawl(spark, two_wave=False)
+        # release the query-suite JVM before the crawl legs measure
+        spark.stop()
+        # headline single-wave row: explicit two_wave=False so an
+        # inherited SPARK_GRAFT_BENCH_TWO_WAVE=1 can't relabel a
+        # two-wave crawl as the single-wave headline (the two-wave leg
+        # below is explicit); fresh subprocess per leg — see
+        # run_crawl_fresh for the same-box A/B that motivates it
+        crawl = run_crawl_fresh(two_wave=False)
         # the ENGINE DEFAULT shape (two_wave=True, dnsresolver_new.py:210)
-        # gets its own headline row (VERDICT r4 #4): same input, same
-        # session (JIT warm — no second warmup leg), identical-output
-        # assertion against the single-wave leg (two-wave only reorders
-        # WHEN a url is fetched within the horizon; a drained crawl sees
-        # the same url set — parity: test_two_wave_parity)
-        crawl_tw = run_crawl(spark, two_wave=True, warmup=False)
+        # gets its own headline row (VERDICT r4 #4): same input,
+        # identical-output assertion against the single-wave leg
+        # (two-wave only reorders WHEN a url is fetched within the
+        # horizon; a drained crawl sees the same url set — parity:
+        # test_two_wave_parity)
+        crawl_tw = run_crawl_fresh(two_wave=True)
         if crawl["done"] and crawl_tw["done"]:
             # both drained: two-wave only moves WHEN a url is fetched, so
             # the final url-seen set must be identical (test_two_wave_parity)
