@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from dnscrawler_spark.plans import (
     count_exchanges,
+    explain_str,
     has_broadcast_join,
     has_pushed_filters,
     scan_read_schema,
@@ -97,3 +98,20 @@ def test_engine_expressions_stay_in_codegen(spark):
         .count()
     )
     assert whole_stage_codegen_spans(df) >= 1
+
+
+def test_ivf_topk_plan_equality_join_single_shuffle(spark):
+    """IVF ANN scale shape: cluster assignment is literal arithmetic in
+    a codegen'd projection over the corpus scan (no exchange added),
+    the probe join is an EQUALITY broadcast join on the cluster key —
+    never a nested-loop/cartesian like the brute-force baseline — and
+    the only shuffle is the per-query top-k window."""
+    from dnscrawler_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = ivf_topk(e, e.filter(F.col("vec_id") < 4), k=10, n_centroids=8, n_probe=2)
+    plan = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_exchanges(df) == 1  # the query_id window, nothing else
