@@ -442,6 +442,45 @@ def q_mm_frame_sample(spark, sf):
     )
 
 
+_PH_N = 256  # 64 planted clusters × 4 variants (0/1/2/3 flipped bits)
+
+
+def _phash_probe_images(spark, n):
+    """Deterministic phash corpus with planted near-dup clusters: each
+    group of 4 image_ids shares an xxhash64 base; variant v flips the
+    first v of 3 group-keyed bit positions, so intra-group hamming is
+    small and structured while inter-group distance is ~32 bits.
+    (datagen's corpus phash is avalanche-mixed — real near-dup pairs
+    would be vanishingly rare there, so the probe plants its own.)"""
+    df = spark.range(n).select(
+        F.format_string("img-%012d", F.col("id")).alias("image_id"),
+        (F.col("id") / 4).cast("long").alias("grp"),
+        (F.col("id") % 4).cast("int").alias("variant"),
+    )
+    ph = F.xxhash64(F.col("grp"))
+    for k in range(3):
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pmod(xxhash64(grp * 8 + {k + 100}), 64) AS INT))"
+        )
+        ph = F.when(F.col("variant") > k, ph.bitwiseXOR(mask)).otherwise(ph)
+    return df.select("image_id", ph.alias("phash"))
+
+
+def q_mm_phash_near_dup(spark, sf):
+    # image-payload near-dedup over the input-hint's phash:int64 column
+    # (the image analog of dedup_simhash_pairs): pigeonhole block join,
+    # exact at hamming<=3 with 4 chunks. The DuckDB twin reads the
+    # brute-force all-pairs scalar re-derivation (oracle/probes.py) —
+    # a blocking bug that dropped pairs would hash-mismatch.
+    from dnscrawler_spark.operators import dedup as DD
+    from dnscrawler_spark.oracle import probes as OP
+
+    _dump_oracle("phash_oracle", lambda: OP.mm_phash_near_dup(_PH_N))
+    imgs = _phash_probe_images(spark, _PH_N)
+    return DD.phash_near_dup(imgs, max_hamming=3)
+
+
 _FIXTURE_CRAWL_CACHE: dict[int, tuple] = {}
 _ORACLE_DUMP_DIR = "/tmp/dnscrawler_spark_probe"
 
@@ -737,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_stats": q_streaming_stateful_stats,
         "mm_decode_features": q_mm_decode_features,
         "mm_frame_sample": q_mm_frame_sample,
+        "mm_phash_near_dup": q_mm_phash_near_dup,
         "crawl_results": q_crawl_results,
         "crawl_failure_detail": q_crawl_failure_detail,
         "crawl_stratified_trace": q_crawl_stratified_trace,
@@ -1075,5 +1115,9 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": """
             SELECT image_id, frame_idx, row_luma
             FROM read_parquet('/tmp/dnscrawler_spark_probe/mm_frames_oracle.parquet')
+        """,
+        "mm_phash_near_dup": """
+            SELECT img_a, img_b, hamming
+            FROM read_parquet('/tmp/dnscrawler_spark_probe/phash_oracle.parquet')
         """,
     }

@@ -273,3 +273,59 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def phash_near_dup(
+    images: DataFrame,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Image near-dup pairs by perceptual-hash hamming distance — the
+    image-payload analog of ``simhash_near_pairs``, over the corpus
+    table's ``phash:int64`` column (the input-hint schema; datagen.py
+    emits it on every page row).
+
+    Pigeonhole blocking on ``n_chunks`` equal slices of the 64-bit hash:
+    two hashes within hamming ``n_chunks - 1`` MUST agree on at least
+    one slice, so for ``max_hamming <= n_chunks - 1`` the block join is
+    EXACT — same result set as the O(n²) all-pairs scan, with the only
+    shuffle being the (chunk, ck) equality join. Larger radii need more
+    chunks (e.g. 8×8-bit covers hamming ≤ 7); the guard below refuses a
+    lossy configuration rather than silently dropping pairs.
+
+    At 10^10 images the chunk join is key-partitioned with ~n·n_chunks
+    rows on each side; hot buckets (e.g. the all-black-thumbnail hash)
+    skew-split under AQE like any other join key.
+    """
+    if not 1 <= n_chunks <= 64 or 64 % n_chunks != 0:
+        raise ValueError(f"n_chunks must divide 64, got {n_chunks}")
+    if max_hamming > n_chunks - 1:
+        raise ValueError(
+            f"pigeonhole blocking with {n_chunks} chunks is only exact "
+            f"for max_hamming <= {n_chunks - 1}, got {max_hamming}"
+        )
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    ph = F.col(phash_col)
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftrightunsigned(ph, i * width).bitwiseAND(F.lit(mask)).alias("ck"),
+        )
+        for i in range(n_chunks)
+    ]
+    chunks = images.select(
+        F.col(id_col).alias("_id"), ph.alias("_ph"),
+        F.explode(F.array(*chunk_structs)).alias("c"),
+    ).select("_id", "_ph", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))
+    l = chunks.select(F.col("_id").alias("img_a"), F.col("_ph").alias("pa"), "chunk", "ck")
+    r = chunks.select(F.col("_id").alias("img_b"), F.col("_ph").alias("pb"), "chunk", "ck")
+    return (
+        l.join(r, ["chunk", "ck"])
+        .filter(F.col("img_a") < F.col("img_b"))
+        .select("img_a", "img_b", hamming64(F.col("pa"), F.col("pb")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

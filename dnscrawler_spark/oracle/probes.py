@@ -285,3 +285,30 @@ def mm_frame_sample(n_pages: int = 96, seed: int = 7, every: int = 4) -> pd.Data
     return pd.DataFrame(
         {"image_id": ids, "frame_idx": idxs, "row_luma": lumas}
     ).astype({"frame_idx": "int64", "row_luma": "float64"})
+
+
+def mm_phash_near_dup(n: int = 256, max_hamming: int = 3) -> pd.DataFrame:
+    """Twin of ``dedup.phash_near_dup`` over the probe's planted-cluster
+    corpus (__spark_entry__._phash_probe_images): rebuild each phash
+    scalar-by-scalar (pyxxhash base + explicit bit flips in unsigned
+    space), then a brute-force ALL-PAIRS popcount — no pigeonhole, so a
+    blocking bug that dropped a pair would hash-mismatch the gate."""
+    phs = []
+    for i in range(n):
+        grp, var = i // 4, i % 4
+        u = spark_xxhash64(Long(grp)) & _MASK
+        for k in range(var):
+            # pmod(xxhash64(grp*8 + (k+100)), 64): Python % on the
+            # signed hash is exactly Spark's pmod (non-negative result)
+            pos = spark_xxhash64(Long(grp * 8 + k + 100)) % 64
+            u ^= 1 << pos
+        phs.append((f"img-{i:012d}", u))
+    rows = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            ham = bin(phs[a][1] ^ phs[b][1]).count("1")
+            if ham <= max_hamming:
+                rows.append((phs[a][0], phs[b][0], ham))
+    pdf = pd.DataFrame(rows, columns=["img_a", "img_b", "hamming"])
+    pdf["hamming"] = pdf["hamming"].astype("int32")
+    return pdf

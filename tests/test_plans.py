@@ -115,3 +115,18 @@ def test_ivf_topk_plan_equality_join_single_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert count_exchanges(df) == 1  # the query_id window, nothing else
+
+
+def test_phash_near_dup_plan_equality_join_no_cartesian(spark):
+    """Image phash near-dedup scale shape: the pigeonhole chunk join is
+    an EQUALITY join on (chunk, ck) — never a nested-loop/cartesian
+    like the all-pairs baseline — and the hamming popcount stays in
+    codegen (bit_count over xor, no Python)."""
+    import __spark_entry__ as entry
+    from dnscrawler_spark.operators.dedup import phash_near_dup
+
+    df = phash_near_dup(entry._phash_probe_images(spark, 64), max_hamming=3)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bit_count" in plan and "pythonUDF" not in plan.lower()

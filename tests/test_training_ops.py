@@ -131,3 +131,59 @@ def test_multimodal_frame_sample_shape(spark):
     per = {r["image_id"]: r["n"] for r in frames.groupBy("image_id").agg(F.count("*").alias("n")).collect()}
     heights = {r["image_id"]: r["h"] for r in pages.select("image_id", "h").collect()}
     assert per and all(per[i] == (heights[i] + 3) // 4 for i in per)
+
+
+def test_phash_near_dup_matches_brute_force(spark):
+    """Pigeonhole block join ≡ brute-force all-pairs at every exact
+    radius (hamming ≤ n_chunks−1), on the probe's planted-cluster
+    corpus — the blocking must never drop a pair inside the guarantee."""
+    import __spark_entry__ as entry
+    from dnscrawler_spark.operators.dedup import phash_near_dup
+
+    imgs = entry._phash_probe_images(spark, 128).persist()
+    rows = imgs.collect()
+    phs = {r["image_id"]: r["phash"] & ((1 << 64) - 1) for r in rows}
+    ids = sorted(phs)
+    for max_h, n_chunks in ((3, 4), (7, 8), (1, 2)):
+        brute = {
+            (a, b, bin(phs[a] ^ phs[b]).count("1"))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(phs[a] ^ phs[b]).count("1") <= max_h
+        }
+        got = {
+            (r["img_a"], r["img_b"], r["hamming"])
+            for r in phash_near_dup(imgs, max_hamming=max_h, n_chunks=n_chunks).collect()
+        }
+        assert got == brute, f"mismatch at max_hamming={max_h}, n_chunks={n_chunks}"
+    imgs.unpersist()
+
+
+def test_phash_near_dup_on_corpus_table_finds_planted_duplicate(spark):
+    """Runs on the real input-hint table shape (datagen pages carry
+    phash:int64): an exact re-crawled duplicate (same pixels, new id)
+    is found at hamming 0; avalanche-mixed distinct pages never pair."""
+    from dnscrawler_spark import datagen
+    from dnscrawler_spark.operators.dedup import phash_near_dup
+
+    pages = datagen.generate_pages(spark, 64, seed=7, partitions=4).select(
+        "image_id", "phash"
+    )
+    dup = pages.filter(F.col("image_id") == "img-000000000000").select(
+        F.lit("img-dup-recrawl").alias("image_id"), "phash"
+    )
+    pairs = phash_near_dup(pages.union(dup), max_hamming=3).collect()
+    assert [(p["img_a"], p["img_b"], p["hamming"]) for p in pairs] == [
+        ("img-000000000000", "img-dup-recrawl", 0)
+    ]
+
+
+def test_phash_near_dup_refuses_lossy_config(spark):
+    from dnscrawler_spark.operators.dedup import phash_near_dup
+    from dnscrawler_spark import datagen
+
+    pages = datagen.generate_pages(spark, 4, seed=7, partitions=1)
+    with pytest.raises(ValueError):
+        phash_near_dup(pages, max_hamming=4, n_chunks=4)
+    with pytest.raises(ValueError):
+        phash_near_dup(pages, max_hamming=1, n_chunks=5)
