@@ -83,6 +83,27 @@ PICKS = [
         "sorts the full score stream.",
     ),
     (
+        "sim_ivf_topk",
+        "IVF ANN top-k: corpus-side cluster assignment is a single "
+        "codegen'd projection over LITERAL centroid vectors (no "
+        "shuffle, no Python — the quantizer ships inside the plan like "
+        "a trained faiss index), queries re-rank only their n_probe "
+        "nearest lists via an EQUALITY broadcast join on list_id — "
+        "never a nested-loop join like the brute-force baseline — and "
+        "the only exchange is the per-query top-k window.",
+    ),
+    (
+        "mm_phash_near_dup",
+        "Image pHash near-dedup: pigeonhole chunk blocking turns the "
+        "all-pairs hamming scan into an EQUALITY join on (chunk, ck) — "
+        "no CartesianProduct / BroadcastNestedLoopJoin anywhere — and "
+        "the hamming distance itself is bit_count(xor) inside "
+        "WholeStageCodegen, zero Python. At 10^10 images the join is "
+        "key-partitioned with n x n_chunks rows per side; the "
+        "broadcast at this sf degrades to a hash-partitioned shuffle "
+        "join on the same key past the threshold.",
+    ),
+    (
         "w2_priority_window",
         "Priority-queue admission: ONE exchange on the partition key, "
         "and the rank-then-filter appears as WindowGroupLimit both "
