@@ -464,7 +464,7 @@ def _phash_probe_images(spark, n):
             f"CAST(pmod(xxhash64(grp * 8 + {k + 100}), 64) AS INT))"
         )
         ph = F.when(F.col("variant") > k, ph.bitwiseXOR(mask)).otherwise(ph)
-    return df.select("image_id", ph.alias("phash"))
+    return df.select("image_id", ph.alias("phash"), "variant")
 
 
 def q_mm_phash_near_dup(spark, sf):
@@ -479,6 +479,33 @@ def q_mm_phash_near_dup(spark, sf):
     _dump_oracle("phash_oracle", lambda: OP.mm_phash_near_dup(_PH_N))
     imgs = _phash_probe_images(spark, _PH_N)
     return DD.phash_near_dup(imgs, max_hamming=3)
+
+
+_PHG_N = 257  # 64 planted 4-variant clusters + ONE pairless singleton
+
+
+def q_dedup_phash_groups(spark, sf):
+    # the full image-dedup pipeline: near-dup PAIRS (pigeonhole phash
+    # join) -> duplicate CLUSTERS (alternating-star connected
+    # components) -> one canonical survivor per cluster (max variant,
+    # ties min id). The DuckDB twin reads a pure-Python re-derivation
+    # built with entirely different machinery (brute-force popcount +
+    # union-find, oracle/probes.py) — a star-iteration bug that split or
+    # merged a component, or a mis-elected survivor, hash-mismatches.
+    from dnscrawler_spark.operators import components as CC, dedup as DD
+    from dnscrawler_spark.oracle import probes as OP
+
+    _dump_oracle("phash_groups_oracle", lambda: OP.dedup_phash_groups(_PHG_N))
+    imgs = _phash_probe_images(spark, _PHG_N)
+    pairs = DD.phash_near_dup(imgs, max_hamming=3)
+    return CC.dedup_survivors(
+        imgs.select("image_id", "variant"),
+        pairs,
+        id_col="image_id",
+        id_a="img_a",
+        id_b="img_b",
+        prefer="variant",
+    ).select("image_id", "component", "keep")
 
 
 _FIXTURE_CRAWL_CACHE: dict[int, tuple] = {}
@@ -777,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_features": q_mm_decode_features,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_phash_near_dup": q_mm_phash_near_dup,
+        "dedup_phash_groups": q_dedup_phash_groups,
         "crawl_results": q_crawl_results,
         "crawl_failure_detail": q_crawl_failure_detail,
         "crawl_stratified_trace": q_crawl_stratified_trace,
@@ -1119,5 +1147,9 @@ def oracle_sql() -> dict[str, str]:
         "mm_phash_near_dup": """
             SELECT img_a, img_b, hamming
             FROM read_parquet('/tmp/dnscrawler_spark_probe/phash_oracle.parquet')
+        """,
+        "dedup_phash_groups": """
+            SELECT image_id, component, keep
+            FROM read_parquet('/tmp/dnscrawler_spark_probe/phash_groups_oracle.parquet')
         """,
     }

@@ -1,0 +1,176 @@
+"""Duplicate-cluster resolution: near-dup PAIRS → connected components
+→ one canonical survivor per cluster.
+
+Every dedup family in this package (``jaccard_pairs``,
+``lsh_candidate_pairs``, ``simhash_near_pairs``, ``embedding_near_dup``,
+``phash_near_dup``) stops at a pair list; a training-data pipeline then
+has to decide WHICH copy of each duplicate cluster to keep. Pairs are
+not enough — near-duplication is transitive in practice (A~B, B~C puts
+A and C in one cluster even when A!~C), so the keep-set is one document
+per CONNECTED COMPONENT of the pair graph, not per pair.
+
+``connected_components`` implements the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14 — the same public algorithm behind
+GraphFrames' default CC) in pure DataFrame ops:
+
+- each iteration is two rounds of (groupBy-min + equality self-join) —
+  key-partitioned shuffles, no Python, no cartesian anything;
+- converges in O(log n) iterations even on path graphs (where naive
+  min-label propagation needs O(diameter) = O(n));
+- the driver only steers the loop (the classic Spark iterative
+  pattern): per iteration one ``localCheckpoint`` truncates lineage —
+  without it, iteration k replans k copies of the whole history — and
+  the previous iteration's blocks are released deterministically
+  (session.free_local_checkpoint, the crawl engine's helper).
+
+At 10^10 docs: every step shuffles on a node-id key. A giant duplicate
+cluster (boilerplate pages) is exactly the high-degree case large-star
+exists for — it splinters high-degree stars instead of funneling the
+whole component through one reducer. Survivor election is a
+partial-aggregatable ``min(struct)`` groupBy (map-side combine), NOT a
+window rank — a mega-component never sorts through a single partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..session import free_local_checkpoint
+
+
+def _canon_edges(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """(greatest, least)-oriented, self-loop-free, distinct edge set."""
+    a, b = F.col(id_a), F.col(id_b)
+    return (
+        pairs.where(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(F.greatest(a, b).alias("a"), F.least(a, b).alias("b"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = sym.groupBy("a").agg(F.min("b").alias("mb"))
+    mins = mins.select("a", F.least(F.col("a"), F.col("mb")).alias("m"))
+    return (
+        sym.join(mins, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor of u (and u) to the min.
+
+    Input invariant (holds after ``_large_star``): a > b on every row,
+    so each node's smaller neighborhood is exactly its rows as `a`.
+    """
+    mins = edges.groupBy("a").agg(F.min("b").alias("m"))
+    moved = (
+        edges.join(mins, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .where(F.col("a") != F.col("b"))
+    )
+    centers = mins.select(F.col("a"), F.col("m").alias("b"))
+    return moved.union(centers).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected pair graph.
+
+    Returns ``(node, component)`` with one row per node that appears in
+    at least one pair; ``component`` is the minimum node id in the
+    component (deterministic, orderable ids — strings or ints). Nodes
+    in no pair are absent (callers default them to their own id —
+    ``dedup_survivors`` does).
+
+    Raises RuntimeError if the edge set has not reached the star
+    fixpoint after ``max_iter`` alternating iterations; O(log n)
+    convergence makes 25 unreachable for any physical input (2^25
+    components-in-a-chain), so hitting it means a bug, not a tune knob.
+    """
+    edges = _canon_edges(pairs, id_a, id_b).localCheckpoint(eager=True)
+    n_prev, prev = edges.count(), edges
+    if n_prev == 0:
+        return edges.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    for _ in range(max_iter):
+        new = _small_star(_large_star(prev)).localCheckpoint(eager=True)
+        n_new = new.count()
+        converged = n_new == n_prev and new.exceptAll(prev).isEmpty()
+        free_local_checkpoint(prev)
+        n_prev, prev = n_new, new
+        if converged:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+    # at the fixpoint the edge set is a star forest: (node, component_min)
+    # rows for every non-root node; roots label themselves. groupBy-min
+    # instead of trusting exactly-one-row-per-node keeps this robust.
+    comps = (
+        prev.groupBy("a").agg(F.min("b").alias("component"))
+        .select(F.col("a").alias("node"), "component")
+        .union(
+            prev.select(F.col("b").alias("node"), F.col("b").alias("component")).distinct()
+        )
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+    # materialize the O(nodes-in-pairs) label frame so every iteration
+    # checkpoint (the edge frames — the big ones) can be released NOW;
+    # callers free the returned frame itself after their last consumer
+    # if they need deterministic storage release.
+    comps = comps.localCheckpoint(eager=True)
+    free_local_checkpoint(prev)
+    return comps
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    prefer: str | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Annotate ``docs`` with its duplicate cluster and survivor flag.
+
+    Adds two columns: ``component`` (the cluster's canonical id — the
+    min member id; a doc in no pair is its own singleton component) and
+    ``keep`` (True on exactly one doc per component). The survivor is
+    the min id, or — when ``prefer`` names a numeric column — the max
+    ``prefer`` value with ties broken by min id.
+
+    Election is ``min(struct(-prefer, id))`` per component: a partial
+    aggregation (map-side combine), so a mega-component of boilerplate
+    duplicates never funnels through one task the way a window rank
+    would. The keeper frame is one row per component, joined back on
+    the component key.
+    """
+    comps = connected_components(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter)
+    tagged = (
+        docs.join(comps, docs[id_col] == comps["node"], "left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("node")
+    )
+    if prefer is None:
+        key = F.struct(F.col(id_col).alias("i"))
+    else:
+        key = F.struct((-F.col(prefer).cast("double")).alias("p"), F.col(id_col).alias("i"))
+    keepers = tagged.groupBy("component").agg(F.min(key).alias("k")).select(
+        "component", F.col("k.i").alias("_keeper")
+    )
+    return (
+        tagged.join(keepers, "component")
+        .withColumn("keep", F.col(id_col) == F.col("_keeper"))
+        .drop("_keeper")
+    )

@@ -287,12 +287,10 @@ def mm_frame_sample(n_pages: int = 96, seed: int = 7, every: int = 4) -> pd.Data
     ).astype({"frame_idx": "int64", "row_luma": "float64"})
 
 
-def mm_phash_near_dup(n: int = 256, max_hamming: int = 3) -> pd.DataFrame:
-    """Twin of ``dedup.phash_near_dup`` over the probe's planted-cluster
-    corpus (__spark_entry__._phash_probe_images): rebuild each phash
-    scalar-by-scalar (pyxxhash base + explicit bit flips in unsigned
-    space), then a brute-force ALL-PAIRS popcount — no pigeonhole, so a
-    blocking bug that dropped a pair would hash-mismatch the gate."""
+def _phash_corpus(n: int) -> list:
+    """Scalar rebuild of __spark_entry__._phash_probe_images: per image
+    the xxhash64 group base with the first ``variant`` of 3 group-keyed
+    bit positions flipped, in unsigned space."""
     phs = []
     for i in range(n):
         grp, var = i // 4, i % 4
@@ -303,6 +301,16 @@ def mm_phash_near_dup(n: int = 256, max_hamming: int = 3) -> pd.DataFrame:
             pos = spark_xxhash64(Long(grp * 8 + k + 100)) % 64
             u ^= 1 << pos
         phs.append((f"img-{i:012d}", u))
+    return phs
+
+
+def mm_phash_near_dup(n: int = 256, max_hamming: int = 3) -> pd.DataFrame:
+    """Twin of ``dedup.phash_near_dup`` over the probe's planted-cluster
+    corpus (__spark_entry__._phash_probe_images): rebuild each phash
+    scalar-by-scalar (pyxxhash base + explicit bit flips in unsigned
+    space), then a brute-force ALL-PAIRS popcount — no pigeonhole, so a
+    blocking bug that dropped a pair would hash-mismatch the gate."""
+    phs = _phash_corpus(n)
     rows = []
     for a in range(n):
         for b in range(a + 1, n):
@@ -312,3 +320,39 @@ def mm_phash_near_dup(n: int = 256, max_hamming: int = 3) -> pd.DataFrame:
     pdf = pd.DataFrame(rows, columns=["img_a", "img_b", "hamming"])
     pdf["hamming"] = pdf["hamming"].astype("int32")
     return pdf
+
+
+def dedup_phash_groups(n: int = 257, max_hamming: int = 3) -> pd.DataFrame:
+    """Twin of the ``dedup_phash_groups`` probe (pairs → connected
+    components → survivor election), derived with completely different
+    machinery: brute-force all-pairs popcount + pure-Python union-find
+    instead of pigeonhole blocking + alternating-star DataFrame
+    iteration. Survivor = max variant, ties → min image_id."""
+    phs = _phash_corpus(n)
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in range(n):
+        for b in range(a + 1, n):
+            if bin(phs[a][1] ^ phs[b][1]).count("1") <= max_hamming:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+    members: dict = {}
+    for i in range(n):
+        members.setdefault(find(i), []).append(i)
+    rows = []
+    for ms in members.values():
+        comp = phs[min(ms)][0]
+        # max variant (i % 4), ties broken by min image_id == min index
+        keeper = min(ms, key=lambda i: (-(i % 4), phs[i][0]))
+        for i in ms:
+            rows.append((phs[i][0], comp, i == keeper))
+    pdf = pd.DataFrame(rows, columns=["image_id", "component", "keep"])
+    pdf["keep"] = pdf["keep"].astype("bool")
+    return pdf.sort_values("image_id").reset_index(drop=True)

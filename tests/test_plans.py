@@ -130,3 +130,28 @@ def test_phash_near_dup_plan_equality_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "bit_count" in plan and "pythonUDF" not in plan.lower()
+
+
+def test_connected_components_iteration_plan_and_survivor_agg(spark):
+    """Scale shape of the dedup-cluster stage: one star iteration is
+    groupBy-min + EQUALITY self-join only (no cartesian, no Python),
+    and survivor election is a partial-aggregatable min(struct) groupBy
+    — NOT a window rank, so a mega-component never sorts through a
+    single partition."""
+    from dnscrawler_spark.operators.components import (
+        _canon_edges, _large_star, _small_star, dedup_survivors,
+    )
+
+    pairs = spark.createDataFrame([("a", "b"), ("b", "c")], ["id_a", "id_b"])
+    step = _small_star(_large_star(_canon_edges(pairs, "id_a", "id_b")))
+    plan = explain_str(step)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "pythonUDF" not in plan.lower()
+
+    docs = spark.createDataFrame([("a", 1.0), ("b", 2.0)], ["doc_id", "q"])
+    surv = dedup_survivors(docs, pairs, prefer="q")
+    splan = explain_str(surv)
+    assert "Window" not in splan  # election is an aggregate, not a rank
+    assert "partial_min" in splan or "HashAggregate" in splan or "SortAggregate" in splan
+    assert "CartesianProduct" not in splan

@@ -187,3 +187,68 @@ def test_phash_near_dup_refuses_lossy_config(spark):
         phash_near_dup(pages, max_hamming=4, n_chunks=4)
     with pytest.raises(ValueError):
         phash_near_dup(pages, max_hamming=1, n_chunks=5)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Alternating large-star/small-star ≡ brute-force union-find on
+    deterministic random graphs (dense one-component, sparse forest)
+    AND a 200-node path — the O(diameter) killer that pins the O(log n)
+    convergence claim (min-label propagation would need 199 rounds;
+    max_iter=12 forces the star algorithm's bound)."""
+    import random
+
+    from dnscrawler_spark.operators.components import connected_components
+
+    def expected(edges):
+        nodes = {v for e in edges for v in e}
+        parent = {v: v for v in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        comps = {}
+        for v in nodes:
+            comps.setdefault(find(v), []).append(v)
+        return {v: min(ms) for ms in comps.values() for v in ms}
+
+    rng = random.Random(42)
+    cases = []
+    for n, m in ((60, 70), (40, 20), (30, 60)):
+        es = [e for e in {(rng.randrange(n), rng.randrange(n)) for _ in range(m)} if e[0] != e[1]]
+        cases.append([(f"d{a:03d}", f"d{b:03d}") for a, b in es])
+    cases.append([(f"c{i:04d}", f"c{i + 1:04d}") for i in range(199)])  # path-200
+    for edges in cases:
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r["node"]: r["component"] for r in connected_components(df, max_iter=12).collect()}
+        assert got == expected(edges)
+    empty = spark.createDataFrame([], "id_a string, id_b string")
+    assert connected_components(empty).count() == 0
+
+
+def test_dedup_survivors_election_and_singletons(spark):
+    """Survivor = max `prefer` (ties min id); docs in no pair are their
+    own singleton component and always kept; exactly one keeper per
+    component."""
+    from dnscrawler_spark.operators.components import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [("d1", 5.0), ("d2", 9.0), ("d3", 9.0), ("d4", 1.0), ("d5", 0.0)],
+        ["doc_id", "quality"],
+    )
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d2", "d3"), ("d3", "d4")], ["id_a", "id_b"]
+    )
+    out = {r["doc_id"]: (r["component"], r["keep"])
+           for r in dedup_survivors(docs, pairs, prefer="quality").collect()}
+    assert out == {
+        "d1": ("d1", False), "d2": ("d1", True), "d3": ("d1", False),
+        "d4": ("d1", False), "d5": ("d5", True),
+    }
+    # no prefer: min id wins
+    out2 = {r["doc_id"]: r["keep"] for r in dedup_survivors(docs, pairs).collect()}
+    assert out2 == {"d1": True, "d2": False, "d3": False, "d4": False, "d5": True}
