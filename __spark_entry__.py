@@ -343,6 +343,27 @@ def q_dedup_minhash_lsh(spark, sf):
     return D.lsh_candidate_pairs(_t(spark, sf, "documents"), n_hashes=16, bands=4, g=5)
 
 
+def q_dedup_minhash_groups(spark, sf):
+    # the generic cluster/survivor stage on the TEXT table: MinHash-LSH
+    # pairs (the audited dedup_minhash_lsh pipeline) -> alternating-star
+    # connected components -> min-doc_id survivor per duplicate cluster.
+    # The twin re-derives clusters with pure-Python union-find over the
+    # pair list produced by the SAME audited DuckDB SQL (oracle/probes.py)
+    # — so this gate isolates exactly the new cluster/survivor stage.
+    from dnscrawler_spark.operators import components as CC
+    from dnscrawler_spark.oracle import probes as OP
+
+    _dump_oracle(
+        "minhash_groups_oracle",
+        lambda: OP.dedup_minhash_groups(sf, oracle_sql()["dedup_minhash_lsh"]),
+    )
+    docs = _t(spark, sf, "documents")
+    pairs = D.lsh_candidate_pairs(docs, n_hashes=16, bands=4, g=5)
+    return CC.dedup_survivors(
+        docs.select("doc_id"), pairs, id_col="doc_id", id_a="doc_a", id_b="doc_b"
+    ).select("doc_id", "component", "keep")
+
+
 def q_dedup_simhash(spark, sf):
     # xxhash64-based; verified against the scalar SimHash twin
     # (oracle/probes.py: same sign-vote law, same pigeonhole candidate
@@ -805,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": q_mm_frame_sample,
         "mm_phash_near_dup": q_mm_phash_near_dup,
         "dedup_phash_groups": q_dedup_phash_groups,
+        "dedup_minhash_groups": q_dedup_minhash_groups,
         "crawl_results": q_crawl_results,
         "crawl_failure_detail": q_crawl_failure_detail,
         "crawl_stratified_trace": q_crawl_stratified_trace,
@@ -1151,5 +1173,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_phash_groups": """
             SELECT image_id, component, keep
             FROM read_parquet('/tmp/dnscrawler_spark_probe/phash_groups_oracle.parquet')
+        """,
+        "dedup_minhash_groups": """
+            SELECT doc_id, component, keep
+            FROM read_parquet('/tmp/dnscrawler_spark_probe/minhash_groups_oracle.parquet')
         """,
     }

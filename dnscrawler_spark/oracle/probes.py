@@ -356,3 +356,45 @@ def dedup_phash_groups(n: int = 257, max_hamming: int = 3) -> pd.DataFrame:
     pdf = pd.DataFrame(rows, columns=["image_id", "component", "keep"])
     pdf["keep"] = pdf["keep"].astype("bool")
     return pdf.sort_values("image_id").reset_index(drop=True)
+
+
+def dedup_minhash_groups(sf_dir: str, pairs_sql: str) -> pd.DataFrame:
+    """Twin of the ``dedup_minhash_groups`` probe: duplicate clusters +
+    survivor election over the documents table's MinHash-LSH pair
+    graph. The pair list comes from the ALREADY-AUDITED DuckDB SQL twin
+    of ``dedup_minhash_lsh`` (passed in verbatim — md5 signatures,
+    banding, bucket join, hash-green since r3); the cluster/survivor
+    stage is re-derived here with pure-Python union-find instead of the
+    engine's alternating-star iteration. Survivor = min doc_id."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    pairs = con.execute(pairs_sql).fetchdf()
+    ids = [r[0] for r in con.execute("SELECT doc_id FROM documents").fetchall()]
+    con.close()
+    parent = {d: d for d in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    members: dict = {}
+    for d in ids:
+        members.setdefault(find(d), []).append(d)
+    rows = []
+    for ms in members.values():
+        comp = min(ms)
+        for d in ms:
+            rows.append((d, comp, d == comp))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "component", "keep"])
+    pdf["keep"] = pdf["keep"].astype("bool")
+    return pdf.sort_values("doc_id").reset_index(drop=True)
