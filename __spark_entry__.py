@@ -399,6 +399,28 @@ def q_dedup_embedding_cosine(spark, sf):
     return D.embedding_near_dup(e.filter(F.col("vec_id") < 300), threshold=0.3)
 
 
+def q_dedup_embedding_groups(spark, sf):
+    # third application of the cluster/survivor stage: the EMBEDDING
+    # modality's cosine-threshold pair graph (pairs audited via the
+    # dedup_embedding_cosine SQL twin) -> components -> min-vec_id
+    # survivor. With phash (image) and minhash (text), all three
+    # pair-producing modalities now gate the same generic stage.
+    from dnscrawler_spark.operators import components as CC
+    from dnscrawler_spark.oracle import probes as OP
+
+    _dump_oracle(
+        "embedding_groups_oracle",
+        lambda: OP.dedup_embedding_groups(sf, oracle_sql()["dedup_embedding_cosine"]),
+    )
+    e = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).filter(F.col("vec_id") < 300)
+    pairs = D.embedding_near_dup(e, threshold=0.3)
+    return CC.dedup_survivors(
+        e.select("vec_id"), pairs, id_col="vec_id", id_a="id_a", id_b="id_b"
+    ).select("vec_id", "component", "keep")
+
+
 def q_streaming_windowed_counts(spark, sf):
     # Structured Streaming: file source -> watermark -> tumbling window
     # agg -> availableNow; result equals the batch windowed agg, so it
@@ -827,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_phash_near_dup": q_mm_phash_near_dup,
         "dedup_phash_groups": q_dedup_phash_groups,
         "dedup_minhash_groups": q_dedup_minhash_groups,
+        "dedup_embedding_groups": q_dedup_embedding_groups,
         "crawl_results": q_crawl_results,
         "crawl_failure_detail": q_crawl_failure_detail,
         "crawl_stratified_trace": q_crawl_stratified_trace,
@@ -1177,5 +1200,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_groups": """
             SELECT doc_id, component, keep
             FROM read_parquet('/tmp/dnscrawler_spark_probe/minhash_groups_oracle.parquet')
+        """,
+        "dedup_embedding_groups": """
+            SELECT vec_id, component, keep
+            FROM read_parquet('/tmp/dnscrawler_spark_probe/embedding_groups_oracle.parquet')
         """,
     }

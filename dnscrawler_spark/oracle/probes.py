@@ -358,6 +358,34 @@ def dedup_phash_groups(n: int = 257, max_hamming: int = 3) -> pd.DataFrame:
     return pdf.sort_values("image_id").reset_index(drop=True)
 
 
+def _union_find_groups(ids: list, pairs: list, id_name: str) -> pd.DataFrame:
+    """(id, component, keep) via pure-Python union-find over ``pairs``;
+    component = min member id, survivor = the component id itself."""
+    parent = {d: d for d in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    members: dict = {}
+    for d in ids:
+        members.setdefault(find(d), []).append(d)
+    rows = []
+    for ms in members.values():
+        comp = min(ms)
+        for d in ms:
+            rows.append((d, comp, d == comp))
+    pdf = pd.DataFrame(rows, columns=[id_name, "component", "keep"])
+    pdf["keep"] = pdf["keep"].astype("bool")
+    return pdf.sort_values(id_name).reset_index(drop=True)
+
+
 def dedup_minhash_groups(sf_dir: str, pairs_sql: str) -> pd.DataFrame:
     """Twin of the ``dedup_minhash_groups`` probe: duplicate clusters +
     survivor election over the documents table's MinHash-LSH pair
@@ -375,26 +403,24 @@ def dedup_minhash_groups(sf_dir: str, pairs_sql: str) -> pd.DataFrame:
     pairs = con.execute(pairs_sql).fetchdf()
     ids = [r[0] for r in con.execute("SELECT doc_id FROM documents").fetchall()]
     con.close()
-    parent = {d: d for d in ids}
+    return _union_find_groups(ids, list(zip(pairs["doc_a"], pairs["doc_b"])), "doc_id")
 
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
 
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[ra] = rb
-    members: dict = {}
-    for d in ids:
-        members.setdefault(find(d), []).append(d)
-    rows = []
-    for ms in members.values():
-        comp = min(ms)
-        for d in ms:
-            rows.append((d, comp, d == comp))
-    pdf = pd.DataFrame(rows, columns=["doc_id", "component", "keep"])
-    pdf["keep"] = pdf["keep"].astype("bool")
-    return pdf.sort_values("doc_id").reset_index(drop=True)
+def dedup_embedding_groups(sf_dir: str, pairs_sql: str) -> pd.DataFrame:
+    """Twin of the ``dedup_embedding_groups`` probe: same machinery as
+    ``dedup_minhash_groups`` but over the embeddings table's
+    cosine-threshold pair graph (the audited ``dedup_embedding_cosine``
+    SQL twin, vec_id < 300). Survivor = min vec_id."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    pairs = con.execute(pairs_sql).fetchdf()
+    ids = [
+        r[0]
+        for r in con.execute("SELECT vec_id FROM embeddings WHERE vec_id < 300").fetchall()
+    ]
+    con.close()
+    return _union_find_groups(ids, list(zip(pairs["id_a"], pairs["id_b"])), "vec_id")
