@@ -193,6 +193,18 @@ def _signed64(x: int) -> int:
 
 def page_row(i: int, seed: int, n_pages: int, n_hosts: int, px_scale: int = 1) -> dict:
     """Full pages row for index *i* (pure function)."""
+    return page_row_px(i, seed, n_pages, n_hosts, px_scale)[0]
+
+
+def page_row_px(
+    i: int, seed: int, n_pages: int, n_hosts: int, px_scale: int = 1
+) -> tuple[dict, np.ndarray]:
+    """``(page_row, pixels)`` for index *i* — the pixels the row's blob
+    was encoded from. ``page_pixels`` is a pure function, so a caller
+    that needs the reference pixels alongside the row (the fetch stage's
+    payload verification) can reuse this array instead of regenerating
+    it — common-subexpression elimination, identical values by
+    construction (guide §1.2 step 2: per-task work)."""
     host, _path, url = page_identity(i, seed, n_hosts)
     pixels, w, h = page_pixels(i, seed, px_scale)
     m = mix2(i, seed ^ _S_IMG ^ 0xF0)
@@ -217,7 +229,7 @@ def page_row(i: int, seed: int, n_pages: int, n_hosts: int, px_scale: int = 1) -
         "out_edges": out,
         "glue_edges": glue,
         "carry_edges": carry,
-    }
+    }, pixels
 
 
 def generate_pages(

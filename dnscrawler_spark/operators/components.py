@@ -22,7 +22,23 @@ GraphFrames' default CC) in pure DataFrame ops:
   pattern): per iteration one ``localCheckpoint`` truncates lineage —
   without it, iteration k replans k copies of the whole history — and
   the previous iteration's blocks are released deterministically
-  (session.free_local_checkpoint, the crawl engine's helper).
+  (session.free_local_checkpoint, the crawl engine's helper);
+- convergence is decided from (edge count, order-insensitive xxhash64
+  checksum) riding the checkpoint's Observation — ONE action per
+  iteration, replacing the old count + ``exceptAll().isEmpty()`` pair
+  (an extra O(E) all-column shuffle per iteration, VERDICT r5 §wrong
+  #3). Edges are distinct by construction, so (count, checksum-sum)
+  stability is set equality up to a 2^-64-scale hash collision; the
+  guarded read falls back to an explicit aggregation job if the
+  Observation ever fails to fire (same pattern as the crawl engine's
+  wave-boundary skip);
+- the loop's shuffle width is data-adaptive (guide §2.2/§2.4): the star
+  steps iterate on a frame whose size is KNOWN from the previous
+  checkpoint's observation, so small graphs (≲2M edges) run at a width
+  derived from the edge count with AQE's per-exchange barriers off —
+  an iteration on a fixture-sized pair graph is pure scheduling latency
+  otherwise — while large graphs keep the session conf (AQE skew
+  handling included). Session conf is restored on every exit path.
 
 At 10^10 docs: every step shuffles on a node-id key. A giant duplicate
 cluster (boilerplate pages) is exactly the high-degree case large-star
@@ -34,9 +50,54 @@ window rank — a mega-component never sorts through a single partition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from ..session import free_local_checkpoint
+
+# (count, order-insensitive checksum) of a canonical edge frame: the
+# convergence signature. decimal(38,0) keeps the sum exact at any edge
+# count (no ANSI long overflow) — same device as rounds.trace_digest.
+def _sig_exprs():
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("ck"),
+    ]
+
+
+def _sig_from_obs(obs: Observation, timeout_s: float = 60.0):
+    """Read the (n, ck) signature from an Observation that rode an eager
+    localCheckpoint. Guarded: returns None if the metrics never fired
+    (caller falls back to an explicit aggregation job) — the same
+    degrade-don't-hang contract as rounds._obs_get_timeout."""
+    import threading
+
+    box: dict = {}
+
+    def _read():
+        try:
+            box["v"] = obs.get
+        except Exception:  # noqa: BLE001 — degrade, never hang
+            pass
+
+    t = threading.Thread(target=_read, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    v = box.get("v")
+    if not v or "n" not in v:
+        return None
+    return int(v["n"]), int(v["ck"] or 0)
+
+
+def _sig_by_agg(df: DataFrame):
+    row = df.agg(*_sig_exprs()).collect()[0]
+    return int(row["n"]), int(row["ck"] or 0)
+
+
+# narrow-loop threshold: below this edge count the star iteration is
+# scheduling-latency-bound, not data-bound — run it at a width derived
+# from the count. Above it, keep the session conf (AQE skew handling).
+_NARROW_MAX_EDGES = 2_000_000
+_EDGES_PER_PARTITION = 50_000
 
 
 def _canon_edges(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
@@ -98,39 +159,75 @@ def connected_components(
     convergence makes 25 unreachable for any physical input (2^25
     components-in-a-chain), so hitting it means a bug, not a tune knob.
     """
-    edges = _canon_edges(pairs, id_a, id_b).localCheckpoint(eager=True)
-    n_prev, prev = edges.count(), edges
-    if n_prev == 0:
-        return edges.select(F.col("a").alias("node"), F.col("b").alias("component"))
-    for _ in range(max_iter):
-        new = _small_star(_large_star(prev)).localCheckpoint(eager=True)
-        n_new = new.count()
-        converged = n_new == n_prev and new.exceptAll(prev).isEmpty()
-        free_local_checkpoint(prev)
-        n_prev, prev = n_new, new
-        if converged:
-            break
-    else:
-        raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
-    # at the fixpoint the edge set is a star forest: (node, component_min)
-    # rows for every non-root node; roots label themselves. groupBy-min
-    # instead of trusting exactly-one-row-per-node keeps this robust.
-    comps = (
-        prev.groupBy("a").agg(F.min("b").alias("component"))
-        .select(F.col("a").alias("node"), "component")
-        .union(
-            prev.select(F.col("b").alias("node"), F.col("b").alias("component")).distinct()
-        )
-        .groupBy("node")
-        .agg(F.min("component").alias("component"))
+    obs0 = Observation()
+    edges = (
+        _canon_edges(pairs, id_a, id_b)
+        .observe(obs0, *_sig_exprs())
+        .localCheckpoint(eager=True)
     )
-    # materialize the O(nodes-in-pairs) label frame so every iteration
-    # checkpoint (the edge frames — the big ones) can be released NOW;
-    # callers free the returned frame itself after their last consumer
-    # if they need deterministic storage release.
-    comps = comps.localCheckpoint(eager=True)
-    free_local_checkpoint(prev)
-    return comps
+    sig = _sig_from_obs(obs0) or _sig_by_agg(edges)
+    if sig[0] == 0:
+        return edges.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    spark = pairs.sparkSession
+    shuf_before = spark.conf.get("spark.sql.shuffle.partitions")
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    narrow = sig[0] <= _NARROW_MAX_EDGES
+    prev = edges
+    try:
+        if narrow:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(1, min(int(shuf_before), sig[0] // _EDGES_PER_PARTITION + 1))),
+            )
+        for _ in range(max_iter):
+            obs = Observation()
+            new = (
+                _small_star(_large_star(prev))
+                .observe(obs, *_sig_exprs())
+                .localCheckpoint(eager=True)
+            )
+            new_sig = _sig_from_obs(obs) or _sig_by_agg(new)
+            # edge frames are distinct by construction, so signature
+            # stability (count + checksum) is set equality
+            converged = new_sig == sig
+            free_local_checkpoint(prev)
+            sig, prev = new_sig, new
+            if converged:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} iterations"
+            )
+        # at the fixpoint the edge set is a star forest: (node,
+        # component_min) rows for every non-root node; roots label
+        # themselves. groupBy-min instead of trusting
+        # exactly-one-row-per-node keeps this robust.
+        comps = (
+            prev.groupBy("a").agg(F.min("b").alias("component"))
+            .select(F.col("a").alias("node"), "component")
+            .union(
+                prev.select(
+                    F.col("b").alias("node"), F.col("b").alias("component")
+                ).distinct()
+            )
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        # materialize the O(nodes-in-pairs) label frame so every
+        # iteration checkpoint (the edge frames — the big ones) can be
+        # released NOW; callers free the returned frame itself after
+        # their last consumer if they need deterministic storage release.
+        comps = comps.localCheckpoint(eager=True)
+        return comps
+    finally:
+        # deterministic release on EVERY exit path (ADVICE r5 #3: the
+        # non-convergence raise used to leak the last iteration's
+        # blocks), and session conf restored likewise.
+        free_local_checkpoint(prev)
+        if narrow:
+            spark.conf.set("spark.sql.shuffle.partitions", shuf_before)
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
 
 def dedup_survivors(
@@ -165,7 +262,16 @@ def dedup_survivors(
     if prefer is None:
         key = F.struct(F.col(id_col).alias("i"))
     else:
-        key = F.struct((-F.col(prefer).cast("double")).alias("p"), F.col(id_col).alias("i"))
+        # coalesce the negated prefer key (ADVICE r5 #1): -NULL is NULL
+        # and NULL sorts FIRST inside struct min(), so a NULL-prefer doc
+        # would beat every real-prefer doc; +inf makes it lose instead
+        # (non-null prefers are unchanged).
+        key = F.struct(
+            F.coalesce(
+                -F.col(prefer).cast("double"), F.lit(float("inf"))
+            ).alias("p"),
+            F.col(id_col).alias("i"),
+        )
     keepers = tagged.groupBy("component").agg(F.min(key).alias("k")).select(
         "component", F.col("k.i").alias("_keeper")
     )

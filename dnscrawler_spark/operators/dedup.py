@@ -31,6 +31,23 @@ def normalize_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def spread_input(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism repair for CPU-heavy per-row stages
+    (guide §2.5 input skew / §1.2 step 1): a small parquet input is one
+    file with one row group, so the scan — and every narrow stage fused
+    onto it (normalize, explode, shingle/token hashing) — runs in a
+    SINGLE task no matter how many cores exist. Round-robin repartition
+    to the default parallelism when (and only when) the scan is
+    narrower than that; a big input already scans wide and is returned
+    untouched, so no shuffle is ever added at scale."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — planning-only helper, never fatal
+        return df
+    return df.repartition(p) if n < p else df
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One row per distinct normalized text: keeps min doc_id as the
     canonical representative, counts the clones."""
@@ -57,7 +74,11 @@ def shingles(docs: DataFrame, g: int = G_DEFAULT, text_col: str = "text") -> Dat
             lambda i: F.array_join(F.slice(words, i, g), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    return (
+        spread_input(docs)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
 
 
 def jaccard_pairs(
@@ -106,30 +127,28 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig ARRAY<STRING>): sig[i] = min over shingles of
     md5(i || '_' || shingle). md5 keeps the DuckDB oracle byte-identical;
-    a production variant would swap in xxhash64 (same plan shape)."""
+    a production variant would swap in xxhash64 (same plan shape).
+
+    Plan shape (r6, guide §2.3 "aggregate before you shuffle"): ONE
+    groupBy(doc_id) with ``n_hashes`` min(md5(...)) aggregate columns
+    over the un-exploded shingle stream — the md5s are computed map-side
+    and partially combined, so the shuffle carries ~n_hashes values per
+    (doc, mapper) instead of n_hashes× exploded rows, and the old
+    second groupBy + collect_list + array_sort stage disappears. Same
+    signature values bit-for-bit (min per hash index is associative)."""
     s = shingles(docs, g)
-    hashed = s.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-                lambda i: F.struct(
-                    i.alias("h"),
-                    F.md5(F.concat(i.cast("string"), F.lit("_"), F.col("shingle"))).alias(
-                        "v"
-                    ),
-                ),
-            )
-        ).alias("hv"),
-    )
+    mins = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}_"), F.col("shingle")))
+        ).alias(f"_m{i}")
+        for i in range(n_hashes)
+    ]
     return (
-        hashed.groupBy("doc_id", F.col("hv.h").alias("h"))
-        .agg(F.min("hv.v").alias("minv"))
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("h", "minv"))).alias("pairs"))
+        s.groupBy("doc_id")
+        .agg(*mins)
         .select(
             "doc_id",
-            F.transform(F.col("pairs"), lambda p: p["minv"]).alias("sig"),
+            F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("sig"),
         )
     )
 
@@ -178,7 +197,7 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (No md5 twin in SQL → verified by property tests instead of the
     DuckDB oracle.)"""
     words = F.split(normalize_text(F.col(text_col)), " ")
-    tok = docs.select("doc_id", F.explode(words).alias("w"))
+    tok = spread_input(docs).select("doc_id", F.explode(words).alias("w"))
     tok = tok.withColumn("h", F.xxhash64("w"))
     # fixed 64-way unroll (shiftright needs a literal shift amount):
     # one groupBy, 64 sum(when(bit set, +1, -1)) columns

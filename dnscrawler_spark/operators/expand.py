@@ -160,9 +160,12 @@ def fetch_synthetic(
                     # here so classification downstream stays Python-free
                     fcs.append(datagen.fail_code(url, gen_seed))
                     continue
-                row = datagen.page_row(i, gen_seed, n_pages, n_hosts, px_scale)
+                # page_row_px hands back the pixels the blob was encoded
+                # from (page_pixels is pure, so these ARE the reference
+                # pixels) — the old page_pixels re-call per URL was a
+                # duplicated Philox generation, ~15% of fetch CPU
+                row, ref = datagen.page_row_px(i, gen_seed, n_pages, n_hosts, px_scale)
                 if verify:
-                    ref, _, _ = datagen.page_pixels(i, gen_seed, px_scale)
                     ok.append(codecs.payload_ok(row["bytes"], ref))
                 else:
                     ok.append(True)

@@ -172,11 +172,25 @@ def train_centroids(
     like shipping a trained faiss quantizer to the workers. At cluster
     scale the list rides task broadcast as literals; a k-means refine
     step would slot in here without touching the query path."""
+    # hash the id at (widened) native type for integral ids — unchanged
+    # behavior; for non-integral ids the old cast("long") yielded NULL,
+    # xxhash64 skipped the column and every row hashed identically,
+    # degenerating the "uniform sample" to the n smallest ids (ADVICE
+    # r5 #2) — hash the native value instead.
+    from pyspark.sql import types as T
+
+    id_type = embeddings.schema[id_col].dataType
+    if isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        id_hash = F.col(id_col).cast("long")
+    else:
+        id_hash = F.col(id_col)
     rows = (
         embeddings.select(
             F.col(id_col).alias("cid_src"),
             F.col(vec_col).cast("array<double>").alias("v"),
-            F.xxhash64(F.col(id_col).cast("long"), F.lit("ivf-train")).alias("h"),
+            F.xxhash64(id_hash, F.lit("ivf-train")).alias("h"),
         )
         .orderBy("h", "cid_src")
         .limit(n_centroids)
@@ -185,13 +199,47 @@ def train_centroids(
     return [[float(x) for x in r.v] for r in rows]
 
 
-def _centroid_scores(vec_col, centroids: list[list[float]]):
+def _lit_vec(cv: list[float]):
+    """Literal ARRAY<DOUBLE> as ONE parsed SQL expression. The old
+    ``F.array(*[F.lit(x) ...])`` built dim py4j Column objects per
+    centroid — for 16 centroids × 64 dims × (corpus + query side) that
+    was ~2 s of driver-side expression construction per query (measured,
+    r6). ``repr(float)`` is the shortest round-trip form and Spark's
+    double-literal parse is correctly rounded, so the values are
+    bit-identical to the F.lit path (agreement-tested)."""
+    return F.expr("array(" + ",".join(repr(float(x)) + "D" for x in cv) + ")")
+
+
+def _py_norm(cv: list[float]) -> float:
+    """L2 norm computed with exactly the fold order of ``_norm`` over a
+    literal array (sequential left-fold sum of squares, then sqrt) —
+    IEEE-754 binary64 ops are deterministic and identical in Python and
+    the JVM, so embedding this as a literal replaces a per-ROW
+    re-computation of each centroid's norm with a plan-time constant,
+    bit-for-bit."""
+    import math
+
+    s = 0.0
+    for x in cv:
+        s += float(x) * float(x)
+    return math.sqrt(s)
+
+
+def _centroid_scores(vec_col, centroids: list[list[float]], norm_col=None):
     """Array of (cosine(vec, centroid_c), c) structs, one per centroid,
-    as literal-backed codegen'd expressions (no join, no shuffle)."""
+    as literal-backed codegen'd expressions (no join, no shuffle).
+    ``norm_col`` lets the caller compute the vector's own norm ONCE and
+    reuse it across all centroids (the expression is unchanged:
+    dot / (norm_vec * norm_centroid), same operand order)."""
+    if norm_col is None:
+        norm_col = _norm(vec_col)
     return F.array(
         *[
             F.struct(
-                cosine_col(vec_col, F.array(*[F.lit(x) for x in cv])).alias("s"),
+                (
+                    _dot(vec_col, _lit_vec(cv))
+                    / (norm_col * F.lit(_py_norm(cv)))
+                ).alias("s"),
                 F.lit(ci).alias("cid"),
             )
             for ci, cv in enumerate(centroids)
@@ -199,9 +247,9 @@ def _centroid_scores(vec_col, centroids: list[list[float]]):
     )
 
 
-def assign_cluster(vec_col, centroids: list[list[float]]):
+def assign_cluster(vec_col, centroids: list[list[float]], norm_col=None):
     """argmax-cosine cluster id (ties → larger cid, the struct max)."""
-    return F.array_max(_centroid_scores(vec_col, centroids))["cid"]
+    return F.array_max(_centroid_scores(vec_col, centroids, norm_col))["cid"]
 
 
 def ivf_topk(
@@ -221,17 +269,31 @@ def ivf_topk(
     16-value key with the tiny exploded query side broadcast — no
     crossjoin ever materializes and recall is tuned by n_probe."""
     cents = train_centroids(embeddings, n_centroids, vec_col, id_col)
-    c = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("c_vec"),
-    ).withColumn("cluster", assign_cluster(F.col("c_vec"), cents))
+    # the vector's own norm is projected ONCE and reused by every
+    # centroid cosine (it was re-derived n_centroids times per row);
+    # dropped before the join so nothing extra crosses the shuffle
+    c = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("c_vec"),
+        )
+        .withColumn("_vn", _norm(F.col("c_vec")))
+        .withColumn(
+            "cluster", assign_cluster(F.col("c_vec"), cents, F.col("_vn"))
+        )
+        .drop("_vn")
+    )
     q0 = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
-    )
+    ).withColumn("_qn", _norm(F.col("q_vec")))
     # n_probe nearest centroids by (score desc, cid desc): struct sort
     probes = F.slice(
-        F.reverse(F.array_sort(_centroid_scores(F.col("q_vec"), cents))),
+        F.reverse(
+            F.array_sort(
+                _centroid_scores(F.col("q_vec"), cents, F.col("_qn"))
+            )
+        ),
         1,
         n_probe,
     )

@@ -73,6 +73,8 @@ def fingerprints(docs: DataFrame, g: int = 8, text_col: str = "text") -> DataFra
     """Winnowing-lite document fingerprint: min md5 over g-word shingles
     (md5 → DuckDB-mirrorable). Docs shorter than g words fall back to
     md5 of the whole normalized text."""
+    from dnscrawler_spark.operators.dedup import spread_input
+
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     words = F.split(norm, " ")
     # guard: sequence(1, 0) would count DOWN in Spark — short docs get []
@@ -83,7 +85,9 @@ def fingerprints(docs: DataFrame, g: int = 8, text_col: str = "text") -> DataFra
             lambda i: F.md5(F.array_join(F.slice(words, i, g), " ")),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
+    # pure projection — with a one-file input EVERY md5 shingle would
+    # otherwise run in one scan task (guide §2.5); spread when narrow
+    return spread_input(docs).select(
         "doc_id",
         F.coalesce(F.array_min(sh), F.md5(norm)).alias("fingerprint"),
     )
