@@ -84,7 +84,9 @@ def q_j3_anti_join(spark, sf):
 
 def q_a1_collect_set(spark, sf):
     # fact-set accumulation A1/A5 (dnsresolver_new.py:160-173,288-297)
-    li = _t(spark, sf, "lineitem")
+    # spread_input: the one-file scan ran the whole partial aggregation
+    # in a single task (r6; result is set/count-valued — order-free)
+    li = D.spread_input(_t(spark, sf, "lineitem"))
     return li.groupBy("l_returnflag").agg(
         F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
         F.countDistinct("l_orderkey").alias("n_orders"),
@@ -105,7 +107,8 @@ def q_a3_collect_list(spark, sf):
 
 
 def q_a5_lower_distinct(spark, sf):
-    orders = _t(spark, sf, "orders")
+    # spread_input: same one-task-scan repair as a1 (set-valued result)
+    orders = D.spread_input(_t(spark, sf, "orders"))
     return orders.select(F.lower("o_orderpriority").alias("p")).agg(
         F.array_join(F.sort_array(F.collect_set("p")), ",").alias("priorities")
     )

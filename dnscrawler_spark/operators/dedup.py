@@ -91,8 +91,17 @@ def jaccard_pairs(
 
     inverted index self-join → common-shingle counts → |A∪B| by
     inclusion-exclusion. ``max_postings`` drops stop-shingles (no
-    signal, quadratic blowup) — logged truncation, not silent."""
-    s = shingles(docs, g)
+    signal, quadratic blowup) — logged truncation, not silent.
+
+    The shingle stream has FOUR consumers (doc sizes, posting filter,
+    both join sides) and Spark does not share identical subtrees across
+    DataFrame references — the round-start plan re-ran scan + explode +
+    distinct four times (plans/r06/dedup_jaccard_pairs_before.txt). A
+    LAZY localCheckpoint materializes it once on first action and every
+    consumer reads the blocks (guide §5: reuse × recompute; a real
+    MinHash/Jaccard pipeline materializes its inverted index anyway —
+    at scale the blocks spill to disk via MEMORY_AND_DISK)."""
+    s = shingles(docs, g).localCheckpoint(eager=False)
     sizes = s.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     posting_ok = (
         s.groupBy("shingle").agg(F.count("*").alias("df")).filter(F.col("df") <= max_postings)
@@ -160,7 +169,10 @@ def lsh_candidate_pairs(
     bucket = md5(band contents), join docs sharing any bucket.
 
     At scale the bucket join is the only shuffle that matters; hot
-    buckets (boilerplate docs) are exactly AQE-skew-join territory."""
+    buckets (boilerplate docs) are exactly AQE-skew-join territory.
+    The banded frame feeds BOTH join sides, so it is lazily
+    localCheckpoint'ed — the whole signature pipeline runs once instead
+    of twice (4 rows/doc at any scale; guide §5)."""
     rows = n_hashes // bands
     sig = minhash_signatures(docs, n_hashes, g)
     banded = sig.select(
@@ -176,7 +188,9 @@ def lsh_candidate_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    ).localCheckpoint(eager=False)
     l = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     r = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (
@@ -242,19 +256,25 @@ def embedding_near_dup(
     cosine re-rank; sub-quadratic, recall property-tested against the
     exact baseline. All arithmetic is Catalyst higher-order functions
     (zip_with/aggregate) — JVM-side, no Python."""
-    from dnscrawler_spark.operators.similarity import cosine_col, hyperplane_sketch
+    from dnscrawler_spark.operators.similarity import _dot, _norm, hyperplane_sketch
 
+    # each side's norm is computed ONCE per vector before the join (it
+    # was re-derived per candidate PAIR — n× per vector); the cosine is
+    # the same expression tree, dot / (norm_a * norm_b), so values are
+    # bit-identical (guide §1.2 step 2)
     e = embeddings.select(id_col, vec_col)
     if n_planes > 0:
         e = e.withColumn("sketch", hyperplane_sketch(F.col(vec_col), n_planes))
     a = e.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("_na"),
         *([F.col("sketch").alias("ska")] if n_planes > 0 else []),
     )
     b = e.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
         *([F.col("sketch").alias("skb")] if n_planes > 0 else []),
     )
     if n_planes > 0:
@@ -264,15 +284,19 @@ def embedding_near_dup(
     return pairs.select(
         "id_a",
         "id_b",
-        F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        F.round(
+            _dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 6
+        ).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on 16-bit
     chunks (a pair within hamming ≤ 3·16 shares at least one exact
-    chunk — the standard pigeonhole block join, not O(n²))."""
-    sh = simhash(docs)
+    chunk — the standard pigeonhole block join, not O(n²)). The simhash
+    frame feeds both join sides — lazily checkpointed so the 64-vote
+    aggregation runs once (1 row/doc at any scale; guide §5)."""
+    sh = simhash(docs).localCheckpoint(eager=False)
     chunk_structs = [
         F.struct(
             F.lit(i).alias("chunk"),

@@ -54,18 +54,30 @@ def cosine_topk(
     """Exact top-k cosine neighbors for each query row.
 
     ``queries`` is expected to be small (it is broadcast); the corpus
-    side streams. Excludes self-matches."""
+    side streams. Excludes self-matches. Each side's norm is projected
+    once before the join (not re-derived per scored pair) — same
+    expression, bit-identical score."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
-    c = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    c = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_col(F.col("c_vec"), F.col("q_vec")), 6).alias("score"),
+            F.round(
+                _dot(F.col("c_vec"), F.col("q_vec"))
+                / (F.col("_cn") * F.col("_qn")),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
@@ -123,25 +135,31 @@ def lsh_topk(
     c = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("_cn"),
         hyperplane_sketch(F.col(vec_col), n_planes).alias("bucket"),
     )
     q0 = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("_qn"),
         hyperplane_sketch(F.col(vec_col), n_planes).alias("qb"),
     )
     # probe buckets: exact + all single-bit flips (multi-probe LSH)
     probes = F.array(
         F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
     )
-    q = q0.select("query_id", "q_vec", F.explode(probes).alias("bucket"))
+    q = q0.select("query_id", "q_vec", "_qn", F.explode(probes).alias("bucket"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_col(F.col("c_vec"), F.col("q_vec")), 6).alias("score"),
+            F.round(
+                _dot(F.col("c_vec"), F.col("q_vec"))
+                / (F.col("_cn") * F.col("_qn")),
+                6,
+            ).alias("score"),
         )
         .dropDuplicates(["query_id", "vec_id"])
     )
@@ -270,8 +288,9 @@ def ivf_topk(
     crossjoin ever materializes and recall is tuned by n_probe."""
     cents = train_centroids(embeddings, n_centroids, vec_col, id_col)
     # the vector's own norm is projected ONCE and reused by every
-    # centroid cosine (it was re-derived n_centroids times per row);
-    # dropped before the join so nothing extra crosses the shuffle
+    # centroid cosine (it was re-derived n_centroids times per row) and
+    # again by the exact re-rank after the join (8 bytes/row extra on
+    # the shuffle for dim× fewer multiplications per scored pair)
     c = (
         embeddings.select(
             F.col(id_col).alias("vec_id"),
@@ -281,7 +300,6 @@ def ivf_topk(
         .withColumn(
             "cluster", assign_cluster(F.col("c_vec"), cents, F.col("_vn"))
         )
-        .drop("_vn")
     )
     q0 = queries.select(
         F.col(id_col).alias("query_id"),
@@ -300,6 +318,7 @@ def ivf_topk(
     q = q0.select(
         "query_id",
         "q_vec",
+        "_qn",
         F.explode(F.transform(probes, lambda e: e["cid"])).alias("cluster"),
     )
     # one cluster per corpus vector + distinct probe clusters per query
@@ -310,7 +329,11 @@ def ivf_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_col(F.col("c_vec"), F.col("q_vec")), 6).alias("score"),
+            F.round(
+                _dot(F.col("c_vec"), F.col("q_vec"))
+                / (F.col("_vn") * F.col("_qn")),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
