@@ -80,8 +80,37 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 def payload_ok(blob: bytes, reference_pixels: np.ndarray, min_psnr_db: float = 40.0) -> bool:
     """Per-row payload invariant (BASELINE.json input_hint): decoded
     pixels must equal the reference exactly for lossless formats, or
-    reach PSNR ≥ 40 dB for lossy ones."""
-    decoded, fmt = decode(blob)
+    reach PSNR ≥ 40 dB for lossy ones.
+
+    Hot path (r6, guide §1.2 step 2 — this runs once per fetched URL):
+    lossless formats compare the decoded byte run directly (one memcmp)
+    instead of materializing a per-pixel boolean array, and the lossy
+    threshold is tested on the exact integer sum of squared error
+    instead of a float64 mean + log10 — same verdict in every case
+    (``mse = ssd/n`` exactly, both integer-valued float sums < 2^53, and
+    ``psnr ≥ t ⟺ ssd·10^(t/10) ≤ 255²·n`` by monotonicity of log10).
+    Shape/size mismatches fall back to the original decode path so the
+    error/False behavior is unchanged."""
+    magic, code, w, h, c = _HEADER.unpack_from(blob, 0)
+    if magic != MAGIC:
+        raise ValueError("bad magic")
+    body = blob[_HEADER.size :]
+    fmt = _FMT_NAME[code]
     if fmt in LOSSLESS_FMTS:
-        return bool(np.array_equal(decoded, reference_pixels))
-    return psnr(decoded, reference_pixels) >= min_psnr_db
+        raw = body if fmt == "raw" else zlib.decompress(body)
+        if (h, w, c) != reference_pixels.shape or len(raw) != reference_pixels.size:
+            # original semantics: reshape raises on a size mismatch,
+            # array_equal is False on a shape mismatch
+            decoded = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, c)
+            return bool(np.array_equal(decoded, reference_pixels))
+        return raw == reference_pixels.tobytes()
+    q = np.frombuffer(zlib.decompress(body), dtype=np.uint8)
+    arr = (q.astype(np.uint16) * QSTEP + QSTEP // 2).clip(0, 255).astype(np.uint8)
+    decoded = arr.reshape(h, w, c)
+    if decoded.shape != reference_pixels.shape:
+        return psnr(decoded, reference_pixels) >= min_psnr_db
+    d = decoded.ravel().astype(np.int64) - reference_pixels.ravel()
+    ssd = int(np.dot(d, d))
+    if ssd == 0:
+        return True
+    return ssd * (10.0 ** (min_psnr_db / 10.0)) <= 65025.0 * d.size

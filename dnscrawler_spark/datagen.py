@@ -197,15 +197,19 @@ def page_row(i: int, seed: int, n_pages: int, n_hosts: int, px_scale: int = 1) -
 
 
 def page_row_px(
-    i: int, seed: int, n_pages: int, n_hosts: int, px_scale: int = 1
+    i: int, seed: int, n_pages: int, n_hosts: int, px_scale: int = 1,
+    identity: tuple[str, str, str] | None = None,
 ) -> tuple[dict, np.ndarray]:
     """``(page_row, pixels)`` for index *i* — the pixels the row's blob
     was encoded from. ``page_pixels`` is a pure function, so a caller
     that needs the reference pixels alongside the row (the fetch stage's
     payload verification) can reuse this array instead of regenerating
     it — common-subexpression elimination, identical values by
-    construction (guide §1.2 step 2: per-task work)."""
-    host, _path, url = page_identity(i, seed, n_hosts)
+    construction (guide §1.2 step 2: per-task work). ``identity``: a
+    caller that already derived ``page_identity(i, seed, n_hosts)``
+    (the fetch stage's membership check does) passes it in instead of
+    re-deriving it (same CSE argument)."""
+    host, _path, url = identity or page_identity(i, seed, n_hosts)
     pixels, w, h = page_pixels(i, seed, px_scale)
     m = mix2(i, seed ^ _S_IMG ^ 0xF0)
     fmt = codecs.ALL_FMTS[m % 3]
@@ -396,9 +400,15 @@ def seed_urls_df(
 
     while True:
         df = spark.range(0, attempts).mapInPandas(gen, schema)
-        first = df.groupBy("url").agg(F.min("attempt").alias("attempt"))
+        # persisted: the count below AND the caller's consumption (the
+        # round-0 frontier write / enqueue insert) would otherwise each
+        # re-run the Python generation pass (guide §5 — measured ~48 s
+        # of duplicate task time per bench leg). The cache is seed-set
+        # sized and lives only until the session drops it.
+        first = df.groupBy("url").agg(F.min("attempt").alias("attempt")).persist()
         if first.count() >= target:
             return first.orderBy("attempt").limit(target).select("url")
+        first.unpersist()
         attempts *= 2
 
 

@@ -48,12 +48,25 @@ def _strip_trailing(c: Column) -> Column:
 
 
 def canon_url_col(col: Column) -> Column:
-    """Catalyst-only canonicalizer (whole-stage-codegen friendly)."""
+    """Catalyst-only canonicalizer (whole-stage-codegen friendly).
+
+    Shaped for the per-edge hot path (r6, guide §1.2 step 2 — this runs
+    once per discovered edge, the engine's highest-volume expression):
+    the ``:80`` regex only executes on rows that contain ``":80"`` at
+    all (a byte scan; a non-matching row can't be changed by the
+    regexp_replace, so the guard is result-identical), and the
+    trailing-slash arity test counts ``/`` chars via ``translate``
+    instead of materializing a split array per row
+    (``size(split(c,"/")) > 3`` ⟺ at least three ``/`` ⟺
+    ``length(c) − length(translate(c,"/","")) > 2``)."""
     c = F.lower(F.trim(col))
     c = F.substring_index(c, "#", 1)
-    c = F.regexp_replace(c, r"^(https?://[^/]*):80(/|$)", r"$1$2")
+    c = F.when(
+        c.contains(":80"), F.regexp_replace(c, r"^(https?://[^/]*):80(/|$)", r"$1$2")
+    ).otherwise(c)
+    n_slash = F.length(c) - F.length(F.translate(c, "/", ""))
     return F.when(
-        c.endswith("/") & (F.size(F.split(c, "/")) > 3), _strip_trailing(c)
+        c.endswith("/") & (n_slash > 2), _strip_trailing(c)
     ).otherwise(c)
 
 

@@ -144,13 +144,17 @@ def fetch_synthetic(
     def run(batches):
         for pdf in batches:
             out_rows, ok, tlds, slds, qfb, fcs = [], [], [], [], [], []
+            page_identity = datagen.page_identity
+            page_row_px = datagen.page_row_px
+            payload_ok = codecs.payload_ok
             for url, host in zip(pdf["url"], pdf["host"]):
                 i = _url_page_index(url)
-                if (
-                    i is None
-                    or i >= n_pages
-                    or datagen.page_identity(i, gen_seed, n_hosts)[2] != url
-                ):
+                ident = (
+                    page_identity(i, gen_seed, n_hosts)
+                    if i is not None and i < n_pages
+                    else None
+                )
+                if ident is None or ident[2] != url:
                     out_rows.append(None)
                     ok.append(None)
                     tlds.append(None)
@@ -163,17 +167,23 @@ def fetch_synthetic(
                 # page_row_px hands back the pixels the blob was encoded
                 # from (page_pixels is pure, so these ARE the reference
                 # pixels) — the old page_pixels re-call per URL was a
-                # duplicated Philox generation, ~15% of fetch CPU
-                row, ref = datagen.page_row_px(i, gen_seed, n_pages, n_hosts, px_scale)
+                # duplicated Philox generation, ~15% of fetch CPU; the
+                # membership check's identity is reused the same way (r6)
+                row, ref = page_row_px(
+                    i, gen_seed, n_pages, n_hosts, px_scale, identity=ident
+                )
                 if verify:
-                    ok.append(codecs.payload_ok(row["bytes"], ref))
+                    ok.append(payload_ok(row["bytes"], ref))
                 else:
                     ok.append(True)
-                # keep ONLY the slim fields — the payload blob is freed
-                # row-by-row, never accumulated across the Arrow batch
-                # (a 65k-row batch of full rows is tens of GB at realistic
-                # image sizes; a real fetcher sinks blobs per URL too)
-                out_rows.append({k: row[k] for k in slim_names})
+                # free the payload blob row-by-row — it must never
+                # accumulate across the Arrow batch (a 65k-row batch of
+                # full rows is tens of GB at realistic image sizes; a
+                # real fetcher sinks blobs per URL too). The remaining
+                # dict IS the slim row (plus edge arrays the schema
+                # extracts below) — no per-row copy (r6).
+                del row["bytes"]
+                out_rows.append(row)
                 t, s = suffix_extract(host)
                 tlds.append(t)
                 slds.append(s)

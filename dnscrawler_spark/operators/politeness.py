@@ -119,6 +119,94 @@ def apply_debits(prepared: DataFrame, debits: DataFrame) -> DataFrame:
     )
 
 
+def admit_decided(
+    frontier: DataFrame,
+    prepared: DataFrame,
+) -> DataFrame:
+    """One round of politeness as a SINGLE tagged frame (r6): every
+    frontier row annotated with ``_verdict`` ∈ {admit, left, blocked}
+    plus its host's ``tokens`` balance — computed in one pass, no branch
+    unions.
+
+    The two-phase top-k is expressed as running counts instead of
+    row_number-over-filtered-subsets: within a (host, salt) partition
+    ordered by the admission key, a non-blocked row's running count of
+    non-blocked rows IS its phase-1 rank (it includes itself), and the
+    per-host running count of phase-1 survivors is its phase-2 rank —
+    provably the same admit/leftover split as ranking each filtered
+    subset, for the same reason (the per-host top-B is contained in
+    every per-salt top-B). One output frame means the caller can
+    materialize the WHOLE politeness decision with one eager
+    localCheckpoint: every downstream job (fetch, fused pass, facts,
+    frontier write) then plans from a leaf instead of re-carrying — and
+    re-broadcasting — the frontier/policy lineage (guide §2.4/§5; the
+    fixture-scale profile counted 170 broadcast rebuilds per crawl,
+    most of them the politeness join re-executed by sibling actions).
+    """
+    fr = frontier.join(prepared, "host", "left")
+    # hosts absent from host_state (dead-edge hosts can be): default budget 1/round
+    fr = fr.withColumn("budget", F.floor(F.coalesce(F.col("tokens"), F.lit(1.0))).cast("int"))
+
+    eligible = ~robots_block_pred()
+    # phase 1: per-(host, salt) running rank among eligible rows. The
+    # frontier arrives repartitioned by (host, salt), so this window
+    # needs no exchange — just a partition-local sort (as before).
+    w1 = Window.partitionBy("host", "salt").orderBy(*ORDER_COLS)
+    fr = fr.withColumn("_elig", eligible).withColumn(
+        "_c1",
+        F.sum(F.when(F.col("_elig"), 1).otherwise(0)).over(
+            w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    keep1 = F.col("_elig") & (F.col("_c1") <= F.col("budget"))
+    # phase 2: exact per-host running rank over the phase-1 survivors
+    w2 = Window.partitionBy("host").orderBy(*ORDER_COLS)
+    fr = fr.withColumn("_k1", keep1).withColumn(
+        "_c2",
+        F.sum(F.when(F.col("_k1"), 1).otherwise(0)).over(
+            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    admit_pred = F.col("_k1") & (F.col("_c2") <= F.col("budget"))
+    return fr.withColumn(
+        "_verdict",
+        F.when(~F.col("_elig"), F.lit("blocked"))
+        .when(admit_pred, F.lit("admit"))
+        .otherwise(F.lit("left")),
+    ).drop("robots_disallow", "robots_fetched", "budget", "_elig", "_c1", "_k1", "_c2")
+
+
+_DECIDED_AUX = ["tokens", "_verdict"]
+
+
+def split_decided(
+    decided: DataFrame, round_no: int
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """``(admitted, leftover, blocked, debits)`` from an
+    :func:`admit_decided` frame — plain filters/aggregations of the
+    (ideally checkpointed) decision leaf; nothing here re-runs the
+    ranking. ``debits``: per-host post-debit balances for hosts that
+    admitted AND have a policy row (``tokens`` non-null — default-budget
+    hosts keep no state, as before); the balance rides the decided rows,
+    so no join back against the policy dimension is needed."""
+    admitted = decided.filter(F.col("_verdict") == "admit").drop(*_DECIDED_AUX)
+    leftover = decided.filter(F.col("_verdict") == "left").drop(*_DECIDED_AUX)
+    blocked = decided.filter(F.col("_verdict") == "blocked").drop(*_DECIDED_AUX)
+    debits = (
+        decided.filter(
+            (F.col("_verdict") == "admit") & F.col("tokens").isNotNull()
+        )
+        .groupBy("host")
+        .agg(
+            # tokens is a per-host constant on these rows; max() is the
+            # deterministic pick
+            (F.max("tokens") - F.count(F.lit(1)).cast("double")).alias("tokens"),
+        )
+        .select("host", "tokens", F.lit(round_no).alias("asof_round"))
+    )
+    return admitted, leftover, blocked, debits
+
+
 def admit(
     frontier: DataFrame,
     prepared: DataFrame,
@@ -138,55 +226,9 @@ def admit(
     - debits: (host, tokens, asof_round) post-debit token rows for the
       hosts that admitted — the ONLY dynamic state the round writes
       (O(admitted hosts), VERDICT r2 #9)
+
+    Implemented as :func:`admit_decided` + :func:`split_decided`; the
+    crawl loop calls those directly so it can pin the decision with one
+    checkpoint (see rounds.py).
     """
-    fr = frontier.join(prepared, "host", "left")
-    # hosts absent from host_state (dead-edge hosts can be): default budget 1/round
-    fr = fr.withColumn("budget", F.floor(F.coalesce(F.col("tokens"), F.lit(1.0))).cast("int"))
-
-    blocked_pred = robots_block_pred()
-    blocked = fr.filter(blocked_pred)
-    candid = fr.filter(~blocked_pred)
-
-    # phase 1: per-(host, salt) prune to the per-salt top-budget.
-    # The frontier arrives repartitioned by (host, salt), so this window
-    # needs no exchange — just a partition-local sort.
-    w1 = Window.partitionBy("host", "salt").orderBy(*ORDER_COLS)
-    ranked1 = candid.withColumn("rn1", F.row_number().over(w1))
-    pruned = ranked1.filter(F.col("rn1") <= F.col("budget"))
-    # phase 2: exact per-host top-budget over the (small) survivors
-    w2 = Window.partitionBy("host").orderBy(*ORDER_COLS)
-    ranked = pruned.withColumn("rn", F.row_number().over(w2))
-    admitted = ranked.filter(F.col("rn") <= F.col("budget"))
-
-    # leftover = phase-1 spill ∪ phase-2 spill — derived from the ranks
-    # already computed instead of an anti-join (saves a full shuffle of
-    # the frontier every round)
-    leftover = ranked.filter(F.col("rn") > F.col("budget")).drop("rn").unionByName(
-        ranked1.filter(F.col("rn1") > F.col("budget"))
-    )
-
-    drop_aux = ["tokens", "robots_disallow", "robots_fetched", "budget", "rn1", "rn"]
-    admitted_out = admitted.drop(*drop_aux)
-    # debits are derived from the RETURNED admitted frame (the caller
-    # persists it, so this reads the cache — never re-runs the ranking):
-    # per-host count, then post-debit balance via an inner join against
-    # the prepared policy with the tiny count side broadcast. Hosts
-    # without a policy row (the default-budget path) keep no state,
-    # exactly as before.
-    counts = admitted_out.groupBy("host").agg(
-        F.count(F.lit(1)).cast("double").alias("_n_admitted")
-    )
-    debits = (
-        prepared.join(F.broadcast(counts), "host")
-        .select(
-            "host",
-            (F.col("tokens") - F.col("_n_admitted")).alias("tokens"),
-            F.lit(round_no).alias("asof_round"),
-        )
-    )
-    return (
-        admitted_out,
-        leftover.drop(*[c for c in drop_aux if c in leftover.columns]),
-        blocked.drop(*[c for c in drop_aux if c in blocked.columns]),
-        debits,
-    )
+    return split_decided(admit_decided(frontier, prepared), round_no)

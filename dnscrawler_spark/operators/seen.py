@@ -383,6 +383,22 @@ class SeenFilter:
     def _with_shard_col(self, df: DataFrame, key_col: str) -> DataFrame:
         return df.withColumn("shard_id", F.pmod(F.col(key_col), F.lit(self.n_shards)).cast("int"))
 
+    def _sharded(self, df: DataFrame, key_col: str) -> DataFrame:
+        """Shard-tagged AND explicitly hash-partitioned to ``n_shards``
+        width (r6, guide §2.5): the per-shard Python pass parallelism
+        must follow the STATE layout (n_shards is the data-partitioning
+        config), not whatever ``spark.sql.shuffle.partitions`` the
+        session happens to run — the crawl loop runs narrow shuffle
+        widths for its KB-sized bookkeeping exchanges, which silently
+        capped the round's one CPU-heavy Python pass at that width
+        (4 shards serialized per task at the bench shape). groupBy
+        reuses this exchange (HashPartitioning(shard_id) satisfies the
+        clustering requirement), so the pass costs the same single
+        shuffle as before."""
+        return self._with_shard_col(df, key_col).repartition(
+            self.n_shards, "shard_id"
+        )
+
     # -- probe --------------------------------------------------------------
     def probe(self, keys_df: DataFrame, key_col: str = "url_key") -> DataFrame:
         """(url_key) → (url_key, maybe_seen, needs_exact, seen).
@@ -421,7 +437,7 @@ class SeenFilter:
 
         # no pre-distinct: duplicates get identical verdicts and the
         # downstream left_semi dedups — saves one full shuffle per round
-        keyed = self._with_shard_col(keys_df.select(key_col), key_col)
+        keyed = self._sharded(keys_df.select(key_col), key_col)
         return keyed.groupBy("shard_id").applyInPandas(run, PROBE_SCHEMA)
 
     def filter_unseen(self, df: DataFrame, key_col: str = "url_key") -> DataFrame:
@@ -482,7 +498,7 @@ class SeenFilter:
                 }
             )
 
-        keyed = self._with_shard_col(keys_df.select(key_col), key_col)
+        keyed = self._sharded(keys_df.select(key_col), key_col)
         stats = keyed.groupBy("shard_id").applyInPandas(run, INSERT_STATS_SCHEMA).collect()
 
         new_paths = dict(self.shard_paths)
@@ -847,7 +863,7 @@ class SeenFilter:
                 .withColumn("glue_eligible", F.lit(None).cast("boolean"))
             )
         merged = (
-            self._with_shard_col(tagged, "url_key")
+            self._sharded(tagged, "url_key")
             .groupBy("shard_id")
             .applyInPandas(run, MERGED_SCHEMA)
             .persist()

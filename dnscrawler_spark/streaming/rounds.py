@@ -229,6 +229,14 @@ class CrawlEngine:
             )
             obs_cold = Observation("seed_cold_n")
             cold0 = cold0.observe(obs_cold, F.count(F.lit(1)).alias("n"))
+            # the cold write runs FIRST and alone: it materializes the
+            # `clean` cache every other round-0 job reads (a concurrent
+            # launch would race the cache and compute `clean` N times —
+            # the r5 fork-storm failure mode). The remaining writes are
+            # independent of each other, so they run overlapped in a
+            # small pool (guide §2.6: actions are only sequential because
+            # the driver calls them sequentially) — start() previously
+            # paid ~6 serialized job latencies here.
             cold_path = self.store.write_table(
                 cold0, 0, "frontier_cold", partition_by=["hbucket"]
             )
@@ -236,21 +244,31 @@ class CrawlEngine:
             obs_qs0 = Observation("seed_qs")
             qs0 = qs0.observe(obs_qs0, *strat.deficit_obs_exprs(cfg.cold_buckets))
             n_small = max(1, (cfg.partitions or 8) // 8)
-            snap.tables["queue_state"] = self.store.write_table(
-                qs0.coalesce(n_small), 0, "queue_state"
-            )
-            snap.tables["frontier"] = self.store.write_table(
-                self.spark.createDataFrame([], FRONTIER_SCHEMA), 0, "frontier"
-            )
-            snap.tables["pending_blocked"] = self.store.write_table(
-                pending_blocked, 0, "pending_blocked"
-            )
-            enq = SeenFilter(
+            enq0 = SeenFilter(
                 state_dir=os.path.join(self.root, "enq_state"),
                 n_shards=cfg.seen_shards,
                 n_bits=cfg.seen_bits,
                 n_buckets=cfg.seen_buckets,
-            ).insert(clean.select("url_key"), 0)
+            )
+            with ThreadPoolExecutor(max_workers=4) as ex:
+                fut_qs = ex.submit(
+                    self.store.write_table, qs0.coalesce(n_small), 0, "queue_state"
+                )
+                fut_fr = ex.submit(
+                    self.store.write_table,
+                    self.spark.createDataFrame([], FRONTIER_SCHEMA), 0, "frontier",
+                )
+                fut_pb = ex.submit(
+                    self.store.write_table, pending_blocked, 0, "pending_blocked"
+                )
+                fut_hs = ex.submit(
+                    self.store.write_table, host_state, 0, "host_state"
+                )
+                enq = enq0.insert(clean.select("url_key"), 0)
+                snap.tables["queue_state"] = fut_qs.result()
+                snap.tables["frontier"] = fut_fr.result()
+                snap.tables["pending_blocked"] = fut_pb.result()
+                snap.tables["host_state"] = fut_hs.result()
             n_seeds = int(obs_cold.get["n"])
             clean.unpersist()
             snap.aux = {
@@ -263,11 +281,15 @@ class CrawlEngine:
                 "token_paths": [],
             }
         else:
-            snap.tables["frontier"] = self.store.write_table(fr, 0, "frontier")
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                fut_hs = ex.submit(
+                    self.store.write_table, host_state, 0, "host_state"
+                )
+                snap.tables["frontier"] = self.store.write_table(fr, 0, "frontier")
+                snap.tables["host_state"] = fut_hs.result()
             snap.aux = {"token_paths": []}
             if obs is not None:
                 n_seeds = int(obs.get["n"])
-        snap.tables["host_state"] = self.store.write_table(host_state, 0, "host_state")
         seen = SeenFilter(
             state_dir=os.path.join(self.root, "seen_state"),
             n_shards=cfg.seen_shards,
@@ -507,14 +529,19 @@ class CrawlEngine:
             prepared = F.broadcast(pol.prepare_policy(pruned, tokens, r))
         else:
             prepared = pol.prepare_policy(host_state, tokens, r).hint("shuffle_hash")
-        admitted, leftover, blocked, debits = pol.admit(frontier, prepared, r)
-        # every politeness output has 2+ consumers — cache them or each
-        # consumer re-runs the frontier read + both ranking windows
-        admitted = admitted.persist()
-        leftover = leftover.persist()
-        # debits has 2 consumers in a two-wave round (wave-B apply_debits
-        # broadcast + the host_tokens delta write); uncached, each re-runs
-        # the admitted groupBy AND the prepare_policy token merge-on-read
+        # ONE eager checkpoint pins the whole politeness decision (r6,
+        # guide §2.4/§5): admitted/leftover/blocked/debits become plain
+        # filters/aggregations of an in-memory LEAF, so no downstream
+        # job (fetch, fused pass, facts, frontier write) re-plans — or
+        # re-builds the broadcasts of — the frontier/policy lineage.
+        # Replaces three persists whose caches each still carried the
+        # full politeness plan into every consumer.
+        decided = pol.admit_decided(frontier, prepared).localCheckpoint()
+        admitted, leftover, blocked, debits = pol.split_decided(decided, r)
+        # debits still has 2 consumers in a two-wave round (wave-B
+        # apply_debits broadcast + the host_tokens delta write) — the
+        # aggregation over the leaf is cheap but the broadcast build is
+        # not free; keep it cached
         debits = debits.persist()
         if cfg.stratified:
             # robots-blocked seeds parked by start() join round 0's
@@ -749,11 +776,13 @@ class CrawlEngine:
                 prepared_b = pol.apply_debits(
                     pol.prepare_policy(host_state, tokens, r), debits
                 ).hint("shuffle_hash")
-            admitted_b, leftover_b, blocked_b, debits_b = pol.admit(
-                repartition_by_host(carry_rows), prepared_b, r
+            # same decision-leaf checkpoint as wave A (r6)
+            decided_b = pol.admit_decided(
+                repartition_by_host(carry_rows), prepared_b
+            ).localCheckpoint()
+            admitted_b, leftover_b, blocked_b, debits_b = pol.split_decided(
+                decided_b, r
             )
-            admitted_b = admitted_b.persist()
-            leftover_b = leftover_b.persist()
             obs_fetched_b = Observation(f"fetched_b_r{r}")
             fetched_b, misses_b, enriched_b = run_fetch(admitted_b, obs_fetched_b)
             retries_b, terminal_b, qmin_b = X.classify_misses(misses_b, cfg.gen_seed)
@@ -821,6 +850,7 @@ class CrawlEngine:
                 new_b = unseen_b.join(inflight2, "url_key", "left_anti")
             tick("wave-B collect")
             wave_b = {
+                "decided": decided_b,
                 "admitted": admitted_b, "leftover": leftover_b,
                 "blocked": blocked_b, "fetched": fetched_b, "debits": debits_b,
                 "retries": retries_b, "terminal": terminal_b,
@@ -1203,7 +1233,10 @@ class CrawlEngine:
             "done": n_frontier2 == 0,
         }
         to_unpersist = [
-            admitted, leftover, blocked, debits, fetched, retries, terminal,
+            # decided is the wave-A politeness checkpoint leaf (freed via
+            # free_local_checkpoint below); admitted/leftover are plain
+            # filters of it, listed no longer
+            decided, blocked, debits, fetched, retries, terminal,
             qmin, probe_cand, glue_resolved,
         ]
         if unseen is not None:
@@ -1213,7 +1246,7 @@ class CrawlEngine:
         to_unpersist += strat_persisted
         if wave_b is not None:
             to_unpersist += [
-                wave_b["admitted"], wave_b["leftover"], wave_b["blocked"],
+                wave_b["decided"], wave_b["blocked"],
                 wave_b["fetched"], wave_b["retries"], wave_b["terminal"],
                 wave_b["qmin"], wave_b["candidates"],
                 wave_b["glue_resolved"],
