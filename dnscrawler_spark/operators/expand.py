@@ -413,8 +413,12 @@ def expand_candidates(
                 prio_plain.alias("priority"), "depth", "seed", "reason", "url"
             )
         ).alias("bn"),
-        F.min("url").alias("url"),
     )
+    # url is a function of url_key (every row of the key carries the
+    # same url), so the best-struct's url IS the key's url — the old
+    # third ``min(url)`` aggregate re-derived the same value through
+    # another SortAggregate buffer (r6, guide §2.3: narrower aggregation)
+    edges = edges.withColumn("url", F.col("bg.url"))
     return (
         edges.withColumn("host", host_col(F.col("url")))
         .withColumn(
