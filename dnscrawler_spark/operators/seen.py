@@ -395,7 +395,12 @@ class SeenFilter:
         reuses this exchange (HashPartitioning(shard_id) satisfies the
         clustering requirement), so the pass costs the same single
         shuffle as before."""
-        return self._with_shard_col(df, key_col).repartition(
+        # coalesce first: the input is typically a union over many cached
+        # branch partitions (216 map tasks at the bench shape, most
+        # holding a few KB) — folding them to n_shards before the
+        # exchange trades nothing but task launches (the parents are
+        # in-memory leaves; the merge is narrow)
+        return self._with_shard_col(df.coalesce(self.n_shards), key_col).repartition(
             self.n_shards, "shard_id"
         )
 
